@@ -1,0 +1,112 @@
+"""Mergeable-sketch base contract + versioned binary serde.
+
+Every sketch is *aggregation state*: ``update_batch`` folds a vectorized
+batch of (item, count) updates in, ``merge`` combines two states built
+with identical seeds, and ``to_bytes``/``from_bytes`` round-trip the
+state through Spark ``BinaryType`` rows between the partial and final
+stages of the distributed aggregation (SURVEY.md §3.4).
+
+Wire format: ``b"HHS1" + <u32 header_len> + header_json + payload``.
+The JSON header carries {type, params, seeds, norm, ...}; payload is the
+raw little-endian counter table(s). This keeps states self-describing
+and mergeable across processes with zero pickling.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any
+
+import numpy as np
+
+MAGIC = b"HHS1"
+
+_REGISTRY: dict[str, type] = {}
+
+
+def register(cls):
+    """Class decorator: make a sketch type discoverable by ``from_bytes``."""
+    _REGISTRY[cls.TYPE] = cls
+    return cls
+
+
+class Sketch:
+    """Common interface for all mergeable sketch states."""
+
+    TYPE = "abstract"
+
+    # --- updates -----------------------------------------------------
+    def update_batch(self, items: np.ndarray, counts: np.ndarray | None = None) -> None:
+        raise NotImplementedError
+
+    # --- merge (associative; same seeds required) --------------------
+    def merge(self, other: "Sketch") -> "Sketch":
+        raise NotImplementedError
+
+    # --- serde --------------------------------------------------------
+    def _header(self) -> dict[str, Any]:
+        raise NotImplementedError
+
+    def _payload(self) -> bytes:
+        raise NotImplementedError
+
+    @classmethod
+    def _from_parts(cls, header: dict[str, Any], payload: bytes) -> "Sketch":
+        raise NotImplementedError
+
+    def to_bytes(self) -> bytes:
+        header = dict(self._header())
+        header["type"] = self.TYPE
+        hj = json.dumps(header, separators=(",", ":")).encode()
+        return MAGIC + struct.pack("<I", len(hj)) + hj + self._payload()
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "Sketch":
+        if data[:4] != MAGIC:
+            raise ValueError("bad sketch magic")
+        (hlen,) = struct.unpack("<I", data[4:8])
+        header = json.loads(data[8 : 8 + hlen].decode())
+        payload = data[8 + hlen :]
+        cls = _REGISTRY[header["type"]]
+        return cls._from_parts(header, payload)
+
+
+def merge_all(states: list[Sketch]) -> Sketch:
+    """Left fold; all sketches here are associative so the fold shape is
+    irrelevant (verified by the permuted-merge tests)."""
+    if not states:
+        raise ValueError("nothing to merge")
+    acc = states[0]
+    for s in states[1:]:
+        acc = acc.merge(s)
+    return acc
+
+
+# Hot-path updates are processed in bounded chunks so numpy temporaries
+# stay small and reuse warm heap pages (see core.memtune — fresh page
+# faults are ~100x slower than reuse on virtualized hosts).
+CHUNK = 1 << 15
+
+
+def chunked_update(fn, items: np.ndarray, counts: np.ndarray | None) -> None:
+    n = len(items)
+    if n <= CHUNK:
+        fn(items, counts)
+        return
+    for i in range(0, n, CHUNK):
+        fn(items[i : i + CHUNK], None if counts is None else counts[i : i + CHUNK])
+
+
+def as_u64(items) -> np.ndarray:
+    a = np.asarray(items)
+    if a.dtype != np.uint64:
+        a = a.astype(np.int64).astype(np.uint64)  # tolerate signed inputs
+    return a
+
+
+def as_i64(counts, n: int) -> np.ndarray:
+    if counts is None:
+        return np.ones(n, dtype=np.int64)
+    a = np.asarray(counts)
+    return a.astype(np.int64) if a.dtype != np.int64 else a
