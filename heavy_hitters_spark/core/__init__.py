@@ -6,6 +6,7 @@ from .countsketch import CountSketch, cs_dims, lower_median
 from .hll import HLL
 from .kll import KLL
 from .misra_gries import MisraGries
+from .multi import MultiSketch
 from .prng import MOD_P, SeedStream
 from . import hashing
 
@@ -21,6 +22,7 @@ __all__ = [
     "HLL",
     "KLL",
     "MisraGries",
+    "MultiSketch",
     "SeedStream",
     "MOD_P",
     "hashing",

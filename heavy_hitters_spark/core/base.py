@@ -68,8 +68,29 @@ class Sketch:
         (hlen,) = struct.unpack("<I", data[4:8])
         header = json.loads(data[8 : 8 + hlen].decode())
         payload = data[8 + hlen :]
+        if header["type"] not in _REGISTRY:
+            _load_builtin_types()
         cls = _REGISTRY[header["type"]]
         return cls._from_parts(header, payload)
+
+
+def _load_builtin_types() -> None:
+    """Import every module that registers a sketch type — needed inside
+    Spark Python workers, which may deserialize a type whose defining
+    module was only imported on the driver."""
+    import importlib
+
+    for mod in (
+        "heavy_hitters_spark.core.countmin",
+        "heavy_hitters_spark.core.countsketch",
+        "heavy_hitters_spark.core.misra_gries",
+        "heavy_hitters_spark.core.hll",
+        "heavy_hitters_spark.core.bloom",
+        "heavy_hitters_spark.core.kll",
+        "heavy_hitters_spark.core.multi",
+        "heavy_hitters_spark.hh.dyadic",
+    ):
+        importlib.import_module(mod)
 
 
 def merge_all(states: list[Sketch]) -> Sketch:

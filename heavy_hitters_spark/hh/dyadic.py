@@ -171,6 +171,11 @@ class DyadicHH(Sketch):
         assert 0 <= lo <= hi <= self.m
         total, lvl, k = 0, 0, self.k
         while lo <= hi and lvl < self.logm:
+            if lvl == self.logm - 1:
+                # top level: enumerate the residual block directly
+                ids = np.arange(lo, hi + 1, dtype=np.uint64)
+                total += int(self._estimate(lvl, ids).sum())
+                break
             if lo % k != 0 or (hi - lo + 1) < k:
                 up = min(hi, (lo // k + 1) * k - 1)
                 ids = np.arange(lo, up + 1, dtype=np.uint64)

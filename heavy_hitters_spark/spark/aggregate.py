@@ -1,0 +1,268 @@
+"""Distributed sketch aggregation: vectorized partial build per
+partition + treeAggregate-style associative merge (SURVEY.md §3.4).
+
+Why not a pandas GROUPED_AGG UDAF: PySpark's pandas UDAFs cannot carry
+custom partial state between the map and reduce sides, so the two-stage
+shape is explicit here — and it is *better* at scale because each stage
+is a plain DataFrame with checkpointable rows:
+
+  stage 1 (partial):  mapInPandas over the input partitions; each task
+      folds its Arrow batches into ONE sketch state (numpy kernels,
+      zero per-row Python) and emits a single serialized-state row with
+      lineage (partition id, input files, row count, wall time)
+  stage 2 (merge):    iterative fan-in rounds — groupBy(pid % g) +
+      applyInPandas merging each group to one row — until <= fanin rows
+      remain, then a driver-side fold. This is the treeAggregate
+      pattern expressed on DataFrames so intermediate rounds are
+      inspectable and durable.
+
+All sketches here merge associatively (linear tables / lattice maxes /
+bound-preserving summaries), so the merge-tree shape never changes the
+answer beyond each sketch's documented invariance class — verified by
+tests/test_merge_invariance.py.
+
+Scale notes (100 TB / 1000 executors):
+- one state row per input partition (~800k partitions at 128 MB splits)
+  → stage-2 round 1 reduces 800k rows to 50k groups, round 2 to ~3k,
+  round 3 to fanin; shuffle volume per round = states only, never data
+- the input-side explode/groupBy stays in whole-stage codegen; the only
+  Python is the Arrow-batched sketch kernel
+- hot-key skew is irrelevant to sketch state size (fixed) and the
+  partial stage is map-side only — no shuffle of raw updates at all
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..core.base import Sketch
+
+PARTIAL_SCHEMA = StructType(
+    [
+        StructField("part_id", LongType()),
+        StructField("state", BinaryType()),
+        StructField("n_rows", LongType()),
+        StructField("n_updates", LongType()),
+        StructField("wall_ms", DoubleType()),
+        StructField("state_bytes", LongType()),
+        StructField("files", StringType()),
+    ]
+)
+
+
+def _partial_fn(template_bytes: bytes, id_col: str, weight_col: str | None):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from ..core import memtune  # noqa: F401  (mallopt inside the worker)
+        from ..core.base import Sketch
+
+        sk = Sketch.from_bytes(template_bytes)
+        t0 = time.perf_counter()
+        n_rows = n_upd = 0
+        files: set[str] = set()
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            w = pdf[weight_col].to_numpy() if weight_col else None
+            if "__file" in pdf.columns and len(pdf):
+                files.update(pdf["__file"].unique().tolist())
+            sk.update_batch(ids, w)
+            n_rows += len(pdf)
+            n_upd += len(ids) if w is None else int(abs(w).sum())
+        state = sk.to_bytes()
+        ctx = TaskContext.get()
+        yield pd.DataFrame(
+            {
+                "part_id": [ctx.partitionId() if ctx else -1],
+                "state": [state],
+                "n_rows": [n_rows],
+                "n_updates": [n_upd],
+                "wall_ms": [(time.perf_counter() - t0) * 1000.0],
+                "state_bytes": [len(state)],
+                "files": [",".join(sorted(files))],
+            }
+        )
+
+    return fn
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..core import memtune  # noqa: F401
+    from ..core.base import Sketch
+
+    t0 = time.perf_counter()
+    acc = Sketch.from_bytes(pdf["state"].iloc[0])
+    for blob in pdf["state"].iloc[1:]:
+        acc = acc.merge(Sketch.from_bytes(blob))
+    state = acc.to_bytes()
+    files = ",".join(sorted({f for f in pdf["files"] if f}))[:65536]
+    return pd.DataFrame(
+        {
+            "part_id": [int(pdf["part_id"].min())],
+            "state": [state],
+            "n_rows": [int(pdf["n_rows"].sum())],
+            "n_updates": [int(pdf["n_updates"].sum())],
+            "wall_ms": [float(pdf["wall_ms"].sum()) + (time.perf_counter() - t0) * 1000.0],
+            "state_bytes": [len(state)],
+            "files": [files],
+        }
+    )
+
+
+def partial_states(
+    df: DataFrame,
+    template: Sketch,
+    id_col: str = "id",
+    weight_col: str | None = None,
+    with_lineage: bool = True,
+) -> DataFrame:
+    """Stage 1: one serialized sketch-state row per input partition."""
+    cols = [id_col] + ([weight_col] if weight_col else [])
+    sel = df.select(*cols, F.input_file_name().alias("__file")) if with_lineage else df.select(*cols)
+    return sel.mapInPandas(
+        _partial_fn(template.to_bytes(), id_col, weight_col), PARTIAL_SCHEMA
+    )
+
+
+def tree_merge(partials: DataFrame, fanin: int = 16, n_hint: int | None = None) -> tuple[Sketch, dict]:
+    """Stage 2: fan-in rounds until <= fanin rows, then driver fold.
+
+    Returns (merged sketch, aggregate metrics)."""
+    cur = partials
+    n = n_hint if n_hint is not None else cur.rdd.getNumPartitions()
+    while n > fanin:
+        groups = max(1, (n + fanin - 1) // fanin)
+        cur = (
+            cur.withColumn("g", F.col("part_id") % groups)
+            .groupBy("g")
+            .applyInPandas(lambda pdf: _merge_group(pdf.drop(columns=["g"])), PARTIAL_SCHEMA)
+        )
+        n = groups
+    rows = cur.collect()
+    if not rows:
+        raise ValueError("no partial states (empty input?)")
+    acc = Sketch.from_bytes(rows[0]["state"])
+    metrics = {
+        "n_rows": rows[0]["n_rows"],
+        "n_updates": rows[0]["n_updates"],
+        "wall_ms": rows[0]["wall_ms"],
+        "n_partials": 1,
+    }
+    for r in rows[1:]:
+        acc = acc.merge(Sketch.from_bytes(r["state"]))
+        metrics["n_rows"] += r["n_rows"]
+        metrics["n_updates"] += r["n_updates"]
+        metrics["wall_ms"] += r["wall_ms"]
+        metrics["n_partials"] += 1
+    return acc, metrics
+
+
+def build_sketch(
+    df: DataFrame,
+    template: Sketch,
+    id_col: str = "id",
+    weight_col: str | None = None,
+    fanin: int = 16,
+    with_lineage: bool = False,
+) -> tuple[Sketch, dict]:
+    """End-to-end: partial build + tree merge. ``df`` must already carry
+    the uint32 id column (see spark.keys.key_id_col)."""
+    partials = partial_states(df, template, id_col, weight_col, with_lineage)
+    return tree_merge(partials, fanin=fanin, n_hint=df.rdd.getNumPartitions())
+
+
+# ----------------------------------------------------------------------
+# Checkpointed, file-granular build with per-partition lineage + resume.
+# ----------------------------------------------------------------------
+
+
+def build_sketch_checkpointed(
+    spark: SparkSession,
+    input_paths: list[str],
+    template: Sketch,
+    prepare: Callable[[DataFrame], DataFrame],
+    checkpoint_dir: str,
+    id_col: str = "id",
+    weight_col: str | None = None,
+    fanin: int = 16,
+) -> tuple[Sketch, dict]:
+    """Resumable build: lineage is the input FILE set. Completed files'
+    partial states are durable parquet under ``checkpoint_dir``; a rerun
+    processes only files with no state rows yet (kill-and-rerun test:
+    tests/test_spark_agg.py). ``prepare`` maps the raw file DataFrame to
+    one with (id[, weight]) columns — e.g. tokenize + hash."""
+    part_dir = os.path.join(checkpoint_dir, "partials")
+    done: set[str] = set()
+    have_states = False
+    try:
+        existing = spark.read.parquet(part_dir)
+        have_states = True
+        for r in existing.select("files").collect():
+            done.update(f for f in r["files"].split(",") if f)
+    except Exception:
+        pass  # first run: no checkpoint yet
+
+    def norm(p: str) -> str:
+        return "file://" + os.path.abspath(p.removeprefix("file://"))
+
+    missing = [p for p in input_paths if norm(p) not in done]
+    if missing:
+        raw = spark.read.parquet(*missing)
+        prepared = prepare(raw)
+        partials = partial_states(prepared, template, id_col, weight_col, with_lineage=True)
+        partials.write.mode("append").parquet(part_dir)
+    all_partials = spark.read.parquet(part_dir)
+    n = all_partials.count()
+    sketch, metrics = tree_merge(all_partials, fanin=fanin, n_hint=n)
+    metrics["resumed_files_skipped"] = len(input_paths) - len(missing)
+    metrics["files_processed_this_run"] = len(missing)
+    return sketch, metrics
+
+
+# ----------------------------------------------------------------------
+# RDD treeAggregate reference implementation (tests cross-check only).
+# ----------------------------------------------------------------------
+
+
+def build_sketch_treeaggregate(
+    df: DataFrame,
+    template: Sketch,
+    id_col: str = "id",
+    weight_col: str | None = None,
+    depth: int = 2,
+) -> Sketch:
+    """RDD.treeAggregate over serialized states — the canonical merge
+    shape our DataFrame tree_merge must agree with (slow row-at-a-time
+    Python path; used only to validate the fast path in tests)."""
+    import numpy as np
+
+    tb = template.to_bytes()
+    cols = [id_col] + ([weight_col] if weight_col else [])
+
+    def seq(state_bytes: bytes, rows: list) -> bytes:
+        sk = Sketch.from_bytes(state_bytes)
+        ids = np.array([r[0] for r in rows], dtype=np.uint64)
+        w = np.array([r[1] for r in rows], dtype=np.int64) if weight_col else None
+        if len(ids):
+            sk.update_batch(ids, w)
+        return sk.to_bytes()
+
+    def comb(a: bytes, b: bytes) -> bytes:
+        return Sketch.from_bytes(a).merge(Sketch.from_bytes(b)).to_bytes()
+
+    rdd = df.select(*cols).rdd.glom().map(lambda rows: seq(tb, rows))
+    return Sketch.from_bytes(rdd.treeAggregate(tb, comb, comb, depth=depth))

@@ -1,0 +1,43 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Designed for a 1000-executor cluster but testable on local[N]:
+- AQE on (runtime re-plan, skew-join splitting)
+- Arrow on, batch size aligned with the numpy kernels' chunk size so a
+  pandas-UDF batch flows straight into one warm-memory kernel pass
+- shuffle partitions sized for the local harness; on a real cluster
+  this is overridden by --conf (documented in BENCH/BASELINE.md)
+- malloc tuning propagated to Python workers via executorEnv
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app: str = "heavy-hitters-spark",
+    shuffle_partitions: int | None = None,
+    arrow_batch: int = 32768,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    n_threads = int(master.split("[")[1].rstrip("]")) if "[" in master else 32
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n_threads))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .config("spark.yarn.appMasterEnv.MALLOC_MMAP_MAX_", "0")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+    )
+    return b.getOrCreate()

@@ -1,0 +1,165 @@
+"""Training-data pipeline ops: dedup (exact / MinHash-LSH / SimHash /
+n-gram Jaccard), similarity search (brute force + LSH), text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from heavy_hitters_spark.functions.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    lsh_candidates,
+    near_dup_pairs_minhash,
+    near_dup_pairs_simhash,
+    shingles_df,
+)
+from heavy_hitters_spark.functions.multimodal import (
+    extract_features,
+    fake_decoder,
+    frame_sample,
+    real_decoder,
+    synth_media_df,
+)
+from heavy_hitters_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_topk,
+)
+from heavy_hitters_spark.functions.text import (
+    fingerprint_col,
+    lang_id,
+    quality_scores,
+    token_count_col,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Corpus with planted exact dups and near-dups."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi omicron pi"
+    toks = base.split()
+    rows = []
+    for i in range(40):
+        rot = toks[i % 4 :] + toks[: i % 4]
+        rows.append((i, " ".join(rot)))
+    rows.append((100, rows[0][1]))  # exact dup of doc 0
+    rows.append((101, rows[1][1]))  # exact dup of doc 1
+    near = rows[2][1].split()
+    near[-1] = "CHANGED"  # near-dup of doc 2 (one token differs)
+    rows.append((102, " ".join(near)))
+    rows.append((200, "totally different content about completely other things entirely"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(spark, dup_docs):
+    out = {r["doc_id"]: r["dup_count"] for r in dedup_exact(dup_docs).collect()}
+    assert out[0] == 2 and out[1] == 2  # dups collapse to lowest id
+    assert 100 not in out and 101 not in out
+    assert out[2] == 1
+
+
+def test_shingles_and_jaccard(spark, dup_docs):
+    sh = shingles_df(dup_docs, n=3)
+    assert sh.where(F.col("doc_id") == 0).count() == 14  # 16 tokens -> 14 trigrams
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_pairs(dup_docs, 0.9).collect()}
+    assert pairs[(0, 100)] == 1.0 and pairs[(1, 101)] == 1.0
+    p2 = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(dup_docs, 0.7).collect()}
+    assert (2, 102) in p2  # near-dup found at lower threshold
+
+
+def test_minhash_lsh_recall(spark, dup_docs):
+    cand = {(r["doc_a"], r["doc_b"]) for r in lsh_candidates(dup_docs, 128, 32).collect()}
+    assert (0, 100) in cand and (1, 101) in cand and (2, 102) in cand
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in near_dup_pairs_minhash(dup_docs, 0.7).collect()}
+    assert out[(0, 100)] == 1.0 and (2, 102) in out
+    # verified pairs equal the exact-Jaccard answer at this threshold
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_pairs(dup_docs, 0.7).collect()}
+    assert out == exact
+
+
+def test_simhash_near_dups(spark, dup_docs):
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in near_dup_pairs_simhash(dup_docs, 16).collect()}
+    assert out[(0, 100)] == 0 and out[(1, 101)] == 0
+    assert (2, 102) in out and out[(2, 102)] > 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_topk_exact(spark, emb):
+    rows = emb.orderBy("vec_id").limit(3).collect()
+    q = np.array([r["embedding"] for r in rows])
+    got = brute_force_topk(emb, q, k=5).collect()
+    # numpy oracle
+    all_rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in all_rows])
+    mat = np.array([r["embedding"] for r in all_rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    scores = qn @ mat.T
+    for qi in range(3):
+        order = np.lexsort((ids, -np.round(scores[qi], 12)))[:5]
+        expect = ids[order].tolist()
+        mine = [r["vec_id"] for r in got if r["query_id"] == qi]
+        assert mine == expect
+        assert mine[0] == rows[qi]["vec_id"]  # self is nearest
+
+
+def test_lsh_topk_recall(spark, emb):
+    rows = emb.orderBy("vec_id").limit(2).collect()
+    q = np.array([r["embedding"] for r in rows])
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = lsh_topk(emb, q, k=5, n_planes=8, n_tables=8).collect()
+    for qi in range(2):
+        ex = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        ap = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        assert len(ex & ap) / len(ex) >= 0.6  # recall with generous tables
+        assert rows[qi]["vec_id"] in ap  # self always recovered
+
+
+def test_cosine_near_dups(spark):
+    vecs = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]), (3, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs(df, threshold=0.99, n_planes=6, n_tables=8).collect()}
+    assert (0, 1) in out
+    assert all(p == (0, 1) for p in out)
+
+
+def test_text_ops(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat."), (1, "der hund und die katze"), (2, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    tc = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count_col("text").alias("n")).collect()}
+    assert tc == {0: 6, 1: 5, 2: 2}
+    langs = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert langs[0] == "en" and langs[1] == "de" and langs[2] == "und"
+    q = {r["doc_id"]: r for r in quality_scores(df).collect()}
+    assert q[0]["n_tokens"] == 6 and 0 < q[0]["punct_ratio"] < 0.1
+    assert q[0]["stopword_ratio"] == pytest.approx(2 / 6)
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "c b a"), (2, "a b c")], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint_col("text").alias("fp")).collect()}
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[1]  # order matters (rolling hash)
+
+
+def test_multimodal_pipeline(spark):
+    media = synth_media_df(spark, n_rows=32)
+    feats = extract_features(media, decoder=fake_decoder).collect()
+    assert len(feats) == 32
+    assert all(len(r["feature"]) == 8 for r in feats)
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, decoder=fake_decoder).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in feats)  # deterministic
+    fs = frame_sample(media, every_n=5)
+    assert fs.where(F.col("frame_idx") % 5 != 0).count() == 0
+    with pytest.raises(NotImplementedError):
+        real_decoder(b"\x00")

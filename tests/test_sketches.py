@@ -1,0 +1,197 @@
+"""Sketch contracts: dims, one/two-sided error, published (eps, delta)
+bounds (precision_sketch.c semantics), serde, conservative-update
+sandwich, MG/HLL/Bloom/KLL guarantees."""
+
+import numpy as np
+import pytest
+
+from heavy_hitters_spark.core import (
+    HLL,
+    KLL,
+    Bloom,
+    CountMin,
+    CountSketch,
+    MisraGries,
+    SeedStream,
+    Sketch,
+)
+
+
+def exact_counts(items, weights=None, size=None):
+    size = size or int(items.max()) + 1
+    return np.bincount(
+        items.astype(np.int64), weights=weights, minlength=size
+    ).astype(np.int64)
+
+
+def test_cm_exact_on_small_stream(micro_pairs):
+    """Single/low-collision streams recover exactly
+    (tests/test_sketch_count_min.c:56-86)."""
+    items, w = micro_pairs
+    cm = CountMin(epsilon=0.01, delta=0.05, b=2, seed_stream=SeedStream(1, 2))
+    cm.update_batch(items, w)
+    assert np.array_equal(cm.point(items), w)
+
+
+def test_cm_one_sided(rng):
+    data = rng.integers(0, 5000, 200000, dtype=np.uint64)
+    cm = CountMin(width=256, depth=4, seed_stream=SeedStream(1, 2))
+    cm.update_batch(data)
+    exact = exact_counts(data, size=5000)
+    assert np.all(cm.point(np.arange(5000)) >= exact)
+    assert cm.norm == len(data)
+
+
+def test_cm_epsilon_delta_bound(rng):
+    """|est - exact| <= eps*L1 for >= 1-delta of the universe
+    (src/precision_sketch.c:282-308)."""
+    eps, delta, b = 1 / 64, 0.1, 4
+    data = (rng.zipf(1.3, 100000) % 10000).astype(np.uint64)
+    cm = CountMin(epsilon=eps, delta=delta, b=b, seed_stream=SeedStream(1, 2))
+    cm.update_batch(data)
+    exact = exact_counts(data, size=10000)
+    err = cm.point(np.arange(10000)) - exact
+    violation_rate = (err > eps * cm.norm).mean()
+    assert violation_rate <= delta
+
+
+def test_cm_above_threshold_and_range(micro_pairs):
+    items, w = micro_pairs
+    cm = CountMin(epsilon=0.001, delta=0.05, b=2, seed_stream=SeedStream(1, 2))
+    cm.update_batch(items, w)
+    assert cm.above_threshold(np.array([327]), 78923)[0]
+    assert not cm.above_threshold(np.array([4]), 1000)[0]
+    # naive range parity: sum of points (count_min.c:147-156)
+    assert cm.range_sum(1, 9) == int(cm.point(np.arange(1, 10)).sum())
+
+
+def test_cs_exact_small_and_unbiased(micro_pairs, rng):
+    items, w = micro_pairs
+    cs = CountSketch(epsilon=0.05, delta=0.05, b=4, seed_stream=SeedStream(1, 2))
+    cs.update_batch(items, w)
+    assert np.array_equal(cs.point(items), w)
+    # two-sided error within eps*L2
+    data = (rng.zipf(1.5, 100000) % 4096).astype(np.uint64)
+    cs2 = CountSketch(epsilon=1 / 32, delta=0.1, b=4, seed_stream=SeedStream(1, 2))
+    cs2.update_batch(data)
+    exact = exact_counts(data, size=4096)
+    l2 = np.sqrt((exact.astype(float) ** 2).sum())
+    err = np.abs(cs2.point(np.arange(4096)) - exact)
+    assert (err > (1 / 32) * l2).mean() <= 0.1
+
+
+def test_cs_turnstile_and_l2(rng):
+    """Signed updates (strict turnstile) + AMS L2 in [sqrt(L1), L1]
+    (tests/test_norm_l2_sketch.c:49-89)."""
+    cs = CountSketch(width=1 << 12, depth=7, seed_stream=SeedStream(1, 2))
+    items = rng.integers(0, 100, 5000, dtype=np.uint64)
+    cs.update_batch(items, np.full(5000, 2, dtype=np.int64))
+    cs.update_batch(items, np.full(5000, -1, dtype=np.int64))  # net +1 each
+    exact = exact_counts(items, size=100)
+    assert np.array_equal(cs.point(np.arange(100)), exact)
+    l1 = exact.sum()
+    l2_exact = np.sqrt((exact.astype(float) ** 2).sum())
+    assert abs(cs.l2_norm() - l2_exact) / l2_exact < 0.2
+    assert np.sqrt(l1) <= cs.l2_norm() <= l1
+
+
+def test_cs_point_partial(micro_pairs):
+    items, w = micro_pairs
+    cs = CountSketch(width=1 << 10, depth=5, seed_stream=SeedStream(1, 2))
+    cs.update_batch(items, w)
+    # lower median of per-row partials equals point (count_median.c:102-143)
+    partials = np.stack([cs.point_partial(items, r) for r in range(cs.d)])
+    k = (cs.d - 1) // 2
+    assert np.array_equal(np.partition(partials, k, axis=0)[k], cs.point(items))
+
+
+def test_conservative_sandwich(rng):
+    data = rng.integers(0, 2000, 100000, dtype=np.uint64)
+    exact = exact_counts(data, size=2000)
+    cu = CountMin(width=512, depth=4, seed_stream=SeedStream(1, 2), conservative=True)
+    pl = CountMin(width=512, depth=4, seed_stream=SeedStream(1, 2))
+    for chunk in np.array_split(data, 7):
+        cu.update_batch(chunk)
+        pl.update_batch(chunk)
+    pc, pp = cu.point(np.arange(2000)), pl.point(np.arange(2000))
+    assert np.all(pc >= exact)
+    assert np.all(pc <= pp)
+    assert pc.sum() < pp.sum()  # strictly tighter somewhere on this data
+
+
+def test_misra_gries_bounds(rng):
+    data = (rng.zipf(1.2, 100000) % 5000).astype(np.uint64)
+    mg = MisraGries(k=128)
+    for chunk in np.array_split(data, 13):
+        mg.update_batch(chunk)
+    exact = exact_counts(data, size=5000)
+    est = mg.point(np.arange(5000))
+    assert np.all(est <= exact)
+    assert np.all(exact - est <= mg.norm / (mg.k + 1))
+    # every item above the bound is in the summary
+    heavy = np.where(exact > mg.norm / (mg.k + 1))[0]
+    assert all(int(h) in mg.counters for h in heavy)
+
+
+def test_hll_error(rng):
+    for n in (1000, 50000, 300000):
+        h = HLL(p=12)
+        h.update_batch(rng.integers(0, 2**62, n, dtype=np.uint64))
+        # 5-sigma tolerance on 1.04/sqrt(m)
+        assert abs(h.estimate() - n) / n < 5 * h.rel_std_error() + 0.01
+
+
+def test_bloom_rates(rng):
+    bl = Bloom(capacity=20000, fpp=0.01)
+    keys = rng.integers(0, 2**62, 20000, dtype=np.uint64)
+    bl.update_batch(keys)
+    assert bl.contains(keys[:1000]).all()  # no false negatives
+    probe = rng.integers(2**62, 2**63, 20000, dtype=np.uint64)
+    assert bl.contains(probe).mean() < 0.03
+
+
+def test_kll_rank_error(rng):
+    n = 200000
+    kll = KLL(k=200)
+    for chunk in np.array_split(rng.permutation(np.arange(n)), 9):
+        kll.update_batch(chunk)
+    qs = np.linspace(0.01, 0.99, 21)
+    est = kll.quantile(qs)
+    assert np.all(np.abs(est - qs * n) <= 0.02 * n)
+
+
+def test_serde_roundtrip_all(micro_pairs, rng):
+    items, w = micro_pairs
+    data = rng.integers(0, 1000, 10000, dtype=np.uint64)
+    sketches = [
+        CountMin(width=256, depth=4, seed_stream=SeedStream(1, 2)),
+        CountMin(width=256, depth=4, seed_stream=SeedStream(1, 2), conservative=True),
+        CountSketch(width=256, depth=5, seed_stream=SeedStream(1, 2)),
+        MisraGries(k=64),
+        HLL(p=10),
+        Bloom(capacity=5000),
+        KLL(k=128),
+    ]
+    for s in sketches:
+        s.update_batch(data)
+        r = Sketch.from_bytes(s.to_bytes())
+        assert type(r) is type(s)
+        if hasattr(s, "point"):
+            assert np.array_equal(r.point(np.arange(100)), s.point(np.arange(100)))
+        if isinstance(s, HLL):
+            assert r.estimate() == s.estimate()
+        if isinstance(s, KLL):
+            assert np.array_equal(r.quantile([0.5]), s.quantile([0.5]))
+        if isinstance(s, Bloom):
+            assert np.array_equal(r.contains(data[:50]), s.contains(data[:50]))
+
+
+def test_weighted_stream(rng):
+    """weighted generator mirror (datasets/Weighted/src/weighted.c:131-140):
+    item i has weight proportional to (i+1)."""
+    n = 500
+    items = np.arange(n, dtype=np.uint64)
+    weights = ((items.astype(np.int64) + 1)).astype(np.int64)
+    cm = CountMin(epsilon=0.001, delta=0.01, b=2, seed_stream=SeedStream(1, 2))
+    cm.update_batch(items, weights)
+    assert np.array_equal(cm.point(items), weights)
