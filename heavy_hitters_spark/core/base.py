@@ -119,6 +119,26 @@ def chunked_update(fn, items: np.ndarray, counts: np.ndarray | None) -> None:
         fn(items[i : i + CHUNK], None if counts is None else counts[i : i + CHUNK])
 
 
+def pack_i64(arr: np.ndarray) -> bytes:
+    """Serialize an int64 array at the smallest width that fits its
+    range (1-byte dtype tag prefix). Partial-state counter tables are
+    usually far below int64 range, so this cuts merge-shuffle and
+    driver-collect bytes 2-8x."""
+    a = np.ascontiguousarray(arr).ravel()
+    lo = int(a.min()) if a.size else 0
+    hi = int(a.max()) if a.size else 0
+    for tag, dt in ((1, np.int8), (2, np.int16), (4, np.int32)):
+        info = np.iinfo(dt)
+        if info.min <= lo and hi <= info.max:
+            return bytes([tag]) + a.astype(f"<i{tag}").tobytes()
+    return bytes([8]) + a.astype("<i8").tobytes()
+
+
+def unpack_i64(data: bytes) -> np.ndarray:
+    tag = data[0]
+    return np.frombuffer(data[1:], dtype=f"<i{tag}").astype(np.int64)
+
+
 def as_u64(items) -> np.ndarray:
     a = np.asarray(items)
     if a.dtype != np.uint64:

@@ -31,7 +31,7 @@ import math
 
 import numpy as np
 
-from .base import Sketch, as_i64, as_u64, chunked_update, register
+from .base import Sketch, as_i64, as_u64, chunked_update, pack_i64, register, unpack_i64
 from .hashing import FAMILIES, POW2_FAMILIES, hash_M, next_pow_2
 from .prng import SeedStream
 
@@ -116,13 +116,16 @@ class CountMin(Sketch):
                 np.maximum.at(self.table[di], h[di], target)
         else:
             h = self._rows(x)
-            # flat bincount beats np.add.at ~20x; per-batch weight sums
-            # are exact in float64 (< 2^53)
             flat = (h + (np.arange(self.d, dtype=np.int64) * self.w)[:, None]).ravel()
+            ft = self.table.reshape(-1)
+            # density-adaptive scatter: sparse batches touch only their
+            # own cells (np.add.at); dense batches amortize a full-table
+            # bincount pass (weight sums exact in float64 per batch)
             cc = np.broadcast_to(c, (self.d, len(c))).ravel()
-            self.table += np.bincount(
-                flat, weights=cc, minlength=self.d * self.w
-            ).astype(np.int64).reshape(self.d, self.w)
+            if len(x) < 2 * self.w:
+                np.add.at(ft, flat, cc)
+            else:
+                ft += np.bincount(flat, weights=cc, minlength=self.d * self.w).astype(np.int64)
 
     def point(self, items) -> np.ndarray:
         """Batch point query: min over rows (count_min.c:83-111)."""
@@ -164,7 +167,7 @@ class CountMin(Sketch):
         }
 
     def _payload(self) -> bytes:
-        return self.table.astype("<i8").tobytes()
+        return pack_i64(self.table)
 
     @classmethod
     def _from_parts(cls, header, payload) -> "CountMin":
@@ -178,6 +181,6 @@ class CountMin(Sketch):
             seeds=[tuple(x) for x in header["seeds"]],
             conservative=header["conservative"],
         )
-        s.table = np.frombuffer(payload, dtype="<i8").astype(np.int64).reshape(s.d, s.w)
+        s.table = unpack_i64(payload).reshape(s.d, s.w)
         s.norm = header["norm"]
         return s

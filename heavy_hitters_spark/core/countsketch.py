@@ -29,7 +29,7 @@ import math
 
 import numpy as np
 
-from .base import Sketch, as_i64, as_u64, chunked_update, register
+from .base import Sketch, as_i64, as_u64, chunked_update, pack_i64, register, unpack_i64
 from .hashing import FAMILIES, POW2_FAMILIES, hash_M, next_pow_2, sign_ms
 from .prng import SeedStream
 
@@ -117,9 +117,11 @@ class CountSketch(Sketch):
         h, s = self._rows_signs(x)
         flat = (h + (np.arange(self.d, dtype=np.int64) * self.w)[:, None]).ravel()
         cc = (s * c).ravel()  # d x n signed weights
-        self.table += np.bincount(
-            flat, weights=cc, minlength=self.d * self.w
-        ).astype(np.int64).reshape(self.d, self.w)
+        ft = self.table.reshape(-1)
+        if len(x) < 2 * self.w:  # density-adaptive, as CountMin
+            np.add.at(ft, flat, cc)
+        else:
+            ft += np.bincount(flat, weights=cc, minlength=self.d * self.w).astype(np.int64)
 
     def point(self, items) -> np.ndarray:
         x = as_u64(np.atleast_1d(np.asarray(items)))
@@ -167,7 +169,7 @@ class CountSketch(Sketch):
         }
 
     def _payload(self) -> bytes:
-        return self.table.astype("<i8").tobytes()
+        return pack_i64(self.table)
 
     @classmethod
     def _from_parts(cls, header, payload) -> "CountSketch":
@@ -180,6 +182,6 @@ class CountSketch(Sketch):
             depth=header["d"],
             seeds=[tuple(x) for x in header["seeds"]],
         )
-        s.table = np.frombuffer(payload, dtype="<i8").astype(np.int64).reshape(s.d, s.w)
+        s.table = unpack_i64(payload).reshape(s.d, s.w)
         s.norm = header["norm"]
         return s

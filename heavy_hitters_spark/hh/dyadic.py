@@ -115,9 +115,12 @@ class DyadicHH(Sketch):
         for lvl, (kind, state) in enumerate(self.levels):
             pref = x >> np.uint64(self.gran * lvl)
             if kind == "exact":
-                state += np.bincount(
-                    pref.astype(np.int64), weights=c, minlength=len(state)
-                ).astype(np.int64)
+                if len(x) < 2 * len(state):  # density-adaptive, as CountMin
+                    np.add.at(state, pref.astype(np.int64), c)
+                else:
+                    state += np.bincount(
+                        pref.astype(np.int64), weights=c, minlength=len(state)
+                    ).astype(np.int64)
             else:
                 state.update_batch(pref, c)
 
@@ -220,9 +223,11 @@ class DyadicHH(Sketch):
     def _payload(self) -> bytes:
         import struct
 
+        from ..core.base import pack_i64
+
         parts = []
         for kind, state in self.levels:
-            blob = state.astype("<i8").tobytes() if kind == "exact" else state.to_bytes()
+            blob = pack_i64(state) if kind == "exact" else state.to_bytes()
             parts.append(struct.pack("<Q", len(blob)))
             parts.append(blob)
         return b"".join(parts)
@@ -238,7 +243,9 @@ class DyadicHH(Sketch):
             blob = payload[off : off + ln]
             off += ln
             if kind == "exact":
-                levels.append(("exact", np.frombuffer(blob, dtype="<i8").astype(np.int64)))
+                from ..core.base import unpack_i64
+
+                levels.append(("exact", unpack_i64(blob)))
             else:
                 levels.append(("sketch", Sketch.from_bytes(blob)))
         s = cls(

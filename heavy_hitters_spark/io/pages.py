@@ -72,6 +72,17 @@ def _base36(n: int) -> str:
     return "".join(reversed(out))
 
 
+_VOCAB_CACHE: dict[int, np.ndarray] = {}
+
+
+def _vocab_strings(n_vocab: int) -> np.ndarray:
+    v = _VOCAB_CACHE.get(n_vocab)
+    if v is None:
+        v = np.array([f"tok{i}" for i in range(n_vocab)], dtype=object)
+        _VOCAB_CACHE[n_vocab] = v
+    return v
+
+
 def render_html(host: str, text: str) -> str:
     return HTML_PRE.format(host=host) + text.replace("\n\n", "</p><p>") + HTML_POST
 
@@ -100,12 +111,15 @@ def _gen_batch(
     tu = _uniform(doc_rep * np.int64(1 << 20) + offs, seed + 4)
     tok_ids = np.searchsorted(vocab_cdf, tu)
 
+    # vectorized token-string lookup (cached vocab string table)
+    vocab_strs = _vocab_strings(len(vocab_cdf))
+    tok_strs = vocab_strs[tok_ids]
     bounds = np.concatenate([[0], np.cumsum(lengths)])
     urls, texts, htmls, tss = [], [], [], []
+    join = " ".join
     for i in range(n):
         host = f"h{hid[i]}.example.org"
-        toks = tok_ids[bounds[i] : bounds[i + 1]]
-        text = " ".join(f"tok{t}" for t in toks)
+        text = join(tok_strs[bounds[i] : bounds[i + 1]].tolist())
         urls.append(f"https://{host}/{_base36(int(idx[i]))}")
         texts.append(text)
         htmls.append(render_html(host, text).encode("utf-8"))

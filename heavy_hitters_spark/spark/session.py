@@ -20,7 +20,7 @@ def get_spark(
     master: str | None = None,
     app: str = "heavy-hitters-spark",
     shuffle_partitions: int | None = None,
-    arrow_batch: int = 32768,
+    arrow_batch: int = 8192,  # small batches keep worker temps cache-resident
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"

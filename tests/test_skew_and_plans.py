@@ -1,0 +1,69 @@
+"""Skew helpers correctness + physical-plan quality gates: predicate
+pushdown / column pruning must reach the parquet scan, broadcast joins
+must be broadcast, and the hot projection path must be codegen'd."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from heavy_hitters_spark.spark import key_id_col, tokens
+from heavy_hitters_spark.spark.skew import salted_agg, salted_join, with_salt
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(10000).select((F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+    got = {
+        (r["k"]): (r["cnt"], r["total"])
+        for r in salted_agg(df, ["k"], {"cnt": "count", "total": "sum:v"}, n_salts=8).collect()
+    }
+    exact = {
+        r["k"]: (r["cnt"], r["total"])
+        for r in df.groupBy("k").agg(F.count("*").alias("cnt"), F.sum("v").alias("total")).collect()
+    }
+    assert got == exact
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.range(20000).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(i, f"x{i}") for i in range(5)], "k long, name string")
+    got = salted_join(big, small, on="k", n_salts=4).groupBy("name").count().collect()
+    exact = big.join(small, "k").groupBy("name").count().collect()
+    assert {(r["name"], r["count"]) for r in got} == {(r["name"], r["count"]) for r in exact}
+
+
+def test_salt_determinism(spark):
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    a = with_salt(df, ["k"], 16).collect()
+    assert all(0 <= r["__salt"] < 16 for r in a)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = ev.where(F.col("user_id").between(10, 59)).select("user_id")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "user_id" in plan
+    # column pruning: scan schema should not include event_type/props
+    assert "props" not in plan.split("ReadSchema")[-1]
+
+
+def test_broadcast_join_used_for_candidates(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tok = tokens(docs).withColumn("id", key_id_col("token"))
+    cand = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    j = tok.join(F.broadcast(cand), "id")
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_tokenize_path_codegen(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tok = tokens(docs).withColumn("id", key_id_col("token"))
+    plan = _plan(tok)
+    assert "*(1)" in plan  # whole-stage codegen (explode/split/xxhash JVM-side)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # column pruning: only text is read
+    assert "ReadSchema: struct<text:string>" in plan
