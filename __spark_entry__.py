@@ -167,6 +167,18 @@ def _q_distinct_hll(spark, sf):
     return distinct_tokens_hll(spark, sf)
 
 
+def _q_distinct_hll_rounded(spark, sf):
+    """HLL estimate rounded to a count — on low-cardinality inputs the
+    linear-counting regime is within +-0.5 of truth, so this is
+    deterministically exact here (the raw-estimate query stays
+    rows-only)."""
+    from heavy_hitters_spark.queries import distinct_tokens_hll
+
+    return distinct_tokens_hll(spark, sf).select(
+        F.round("distinct_est").cast("long").alias("n_distinct")
+    )
+
+
 def _q_quantiles_kll(spark, sf):
     from heavy_hitters_spark.queries import quantiles_events_value
 
@@ -183,6 +195,50 @@ def _q_l2_norm(spark, sf):
     from heavy_hitters_spark.queries import l2_norm_tokens
 
     return l2_norm_tokens(spark, sf)
+
+
+def _q_phi_heavy_users_const(spark, sf):
+    """Same phi-HH question answered by the hh_const_sketch variant
+    (cheap per-level rows + verification sketch) + exact verify —
+    deterministic, same oracle as phi_heavy_users."""
+    from heavy_hitters_spark.core import SeedStream
+    from heavy_hitters_spark.hh import ConstSketchHH
+    from heavy_hitters_spark.spark import build_sketch
+    from heavy_hitters_spark.spark.keys import MASK32
+
+    phi = 0.005
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "id", F.col("user_id").bitwiseAND(F.lit(MASK32))
+    )
+    hh = ConstSketchHH(phi=phi, epsilon=phi / 2, delta=0.05, m=MASK32, gran=8,
+                       seed_stream=SeedStream(1234, 5678))
+    merged, _ = build_sketch(ev, hh, id_col="id")
+    cand = [int(i) for i, _ in merged.query()]
+    if not cand:
+        return spark.createDataFrame([], "user_id long, freq long")
+    cand_df = spark.createDataFrame([(c,) for c in cand], "id long")
+    return (
+        ev.join(F.broadcast(cand_df), "id")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= phi * merged.norm)
+        .orderBy(F.asc("user_id"))
+    )
+
+
+def _q_quantiles_tdigest(spark, sf):
+    from heavy_hitters_spark.core import TDigest
+    from heavy_hitters_spark.spark import build_sketch
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        (F.col("value") * 100).cast("long").alias("id")
+    )
+    td, _ = build_sketch(ev, TDigest(200), id_col="id")
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = td.quantile(qs) / 100.0
+    return spark.createDataFrame(
+        [(float(q), float(v)) for q, v in zip(qs, est)], "q double, value_est double"
+    ).orderBy("q")
 
 
 def _q_media_features(spark, sf):  # noqa: ARG001 (synthetic media; sf-independent)
@@ -205,6 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_tokens": _q_topk_tokens,
         "phi_heavy_tokens": _q_phi_heavy_tokens,
         "phi_heavy_users": _q_phi_heavy_users,
+        "phi_heavy_users_const": _q_phi_heavy_users_const,
         "topk_event_types": _q_topk_event_types,
         # relational / text ops (oracle-gated)
         "token_count": _q_token_count,
@@ -216,10 +273,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "events_user_range_exact": _q_events_user_range_exact,
-        # sketch estimates / non-SQL ops (rows-only checks)
+        # sketch estimates; point_freq_cm / range_count_dyadic /
+        # distinct_tokens_hll_rounded are oracle-gated because with these
+        # widths and fixed seeds the estimates are deterministically
+        # exact on this data (verified; CM min-row collision-free)
         "point_freq_cm": _q_point_freq,
         "distinct_tokens_hll": _q_distinct_hll,
+        "distinct_tokens_hll_rounded": _q_distinct_hll_rounded,
         "quantiles_kll": _q_quantiles_kll,
+        "quantiles_tdigest": _q_quantiles_tdigest,
         "range_count_dyadic": _q_range_count_dyadic,
         "l2_norm_cs": _q_l2_norm,
         "simhash_pairs": _q_simhash_pairs,
@@ -252,6 +314,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY token ASC
         """,
         "phi_heavy_users": """
+            WITH tot AS (SELECT count(*) AS n FROM events)
+            SELECT user_id, count(*) AS freq FROM events, tot
+            GROUP BY user_id, tot.n HAVING count(*) >= 0.005 * tot.n
+            ORDER BY user_id ASC
+        """,
+        "phi_heavy_users_const": """
             WITH tot AS (SELECT count(*) AS n FROM events)
             SELECT user_id, count(*) AS freq FROM events, tot
             GROUP BY user_id, tot.n HAVING count(*) >= 0.005 * tot.n
@@ -350,5 +418,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_user_range_exact": """
             SELECT count(*) AS n FROM events WHERE user_id BETWEEN 10 AND 59
+        """,
+        "point_freq_cm": f"""
+            WITH f AS (SELECT token, count(*) AS c FROM ({_TOKENS}) t
+                       WHERE token <> '' GROUP BY token)
+            SELECT p.token, coalesce(f.c, 0) AS est_freq
+            FROM (VALUES ('the'), ('a'), ('value'), ('table'), ('spark')) p(token)
+            LEFT JOIN f USING (token) ORDER BY p.token
+        """,
+        "range_count_dyadic": """
+            SELECT 10 AS lo, 59 AS hi, count(*) AS range_est
+            FROM events WHERE user_id BETWEEN 10 AND 59
+        """,
+        "distinct_tokens_hll_rounded": f"""
+            SELECT count(DISTINCT token) AS n_distinct FROM ({_TOKENS}) t WHERE token <> ''
         """,
     }

@@ -8,6 +8,7 @@ from .kll import KLL
 from .misra_gries import MisraGries
 from .multi import MultiSketch
 from .prng import MOD_P, SeedStream
+from .tdigest import TDigest
 from . import hashing
 
 __all__ = [
@@ -23,6 +24,7 @@ __all__ = [
     "KLL",
     "MisraGries",
     "MultiSketch",
+    "TDigest",
     "SeedStream",
     "MOD_P",
     "hashing",

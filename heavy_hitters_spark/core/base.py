@@ -88,7 +88,9 @@ def _load_builtin_types() -> None:
         "heavy_hitters_spark.core.bloom",
         "heavy_hitters_spark.core.kll",
         "heavy_hitters_spark.core.multi",
+        "heavy_hitters_spark.core.tdigest",
         "heavy_hitters_spark.hh.dyadic",
+        "heavy_hitters_spark.hh.const_sketch",
     ):
         importlib.import_module(mod)
 

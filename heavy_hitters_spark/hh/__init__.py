@@ -1,3 +1,4 @@
+from .const_sketch import ConstSketchHH
 from .dyadic import DyadicHH
 
-__all__ = ["DyadicHH"]
+__all__ = ["DyadicHH", "ConstSketchHH"]

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from heavy_hitters_spark.core import SeedStream, Sketch
-from heavy_hitters_spark.hh import DyadicHH
+from heavy_hitters_spark.hh import ConstSketchHH, DyadicHH
 
 
 @pytest.mark.parametrize("gran", [1, 4, 8])
@@ -86,6 +86,41 @@ def test_hh_point_and_serde(micro_pairs):
     assert np.array_equal(r.point(items), hh.point(items))
     assert sorted(i for i, _ in r.query()) == [2, 3, 8, 327]
     assert r.norm == hh.norm == int(w.sum())
+
+
+@pytest.mark.parametrize("gran", [1, 4, 8])
+def test_const_sketch_micro_fixture(micro_pairs, gran):
+    """hh_const_sketch variant on the same reference fixture
+    (tests/test_hh_const_sketch.c follows test_hh_min_sketch.c)."""
+    items, w = micro_pairs
+    hh = ConstSketchHH(phi=0.05, epsilon=0.01, delta=0.2, m=(1 << 9) - 1,
+                       gran=gran, seed_stream=SeedStream(1, 2))
+    hh.update_batch(items, w)
+    assert sorted(i for i, _ in hh.query()) == [2, 3, 8, 327]
+
+
+def test_const_sketch_planted_and_merge(rng):
+    m = (1 << 20) - 1
+    planted = np.array([3, 134, 2345, 38474, 374298, 374299, 1000000], dtype=np.uint64)
+    draws = _planted_stream(rng, m, 1 << 20, planted)
+    bulk = ConstSketchHH(phi=0.05, epsilon=0.005, delta=0.1, m=m, gran=8,
+                         seed_stream=SeedStream(1, 2))
+    bulk.update_batch(draws)
+    assert sorted(i for i, _ in bulk.query()) == sorted(int(p) for p in planted)
+    # linear: permuted-partition merge byte-identical
+    parts = [draws[i::4] for i in range(4)]
+    states = []
+    for p in parts[::-1]:
+        s = ConstSketchHH(phi=0.05, epsilon=0.005, delta=0.1, m=m, gran=8,
+                          seed_stream=SeedStream(1, 2))
+        s.update_batch(p)
+        states.append(s)
+    acc = states[0]
+    for s in states[1:]:
+        acc = acc.merge(s)
+    assert acc.to_bytes() == bulk.to_bytes()
+    r = Sketch.from_bytes(bulk.to_bytes())
+    assert sorted(r.query()) == sorted(bulk.query())
 
 
 def test_phi_guard():

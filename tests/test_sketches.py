@@ -186,6 +186,26 @@ def test_serde_roundtrip_all(micro_pairs, rng):
             assert np.array_equal(r.contains(data[:50]), s.contains(data[:50]))
 
 
+def test_tdigest_quantiles(rng):
+    from heavy_hitters_spark.core import TDigest
+
+    data = rng.lognormal(0, 2, 100000)
+    td = TDigest(200)
+    for chunk in np.array_split(data, 9):
+        td.update_batch(chunk)
+    qs = [0.01, 0.5, 0.99]
+    exact = np.quantile(data, qs)
+    assert np.all(np.abs(td.quantile(qs) - exact) / exact < 0.02)
+    # merge preserves bounds
+    t1, t2 = TDigest(200), TDigest(200)
+    t1.update_batch(data[::2])
+    t2.update_batch(data[1::2])
+    t1.merge(t2)
+    assert np.all(np.abs(t1.quantile(qs) - exact) / exact < 0.02)
+    r = Sketch.from_bytes(t1.to_bytes())
+    assert np.allclose(r.quantile(qs), t1.quantile(qs))
+
+
 def test_weighted_stream(rng):
     """weighted generator mirror (datasets/Weighted/src/weighted.c:131-140):
     item i has weight proportional to (i+1)."""
