@@ -226,6 +226,25 @@ def _q_phi_heavy_users_const(spark, sf):
     )
 
 
+def _q_bloom_membership(spark, sf):
+    """Bloom-filter membership probes over the token set. With this
+    capacity/fpp and fixed seeds the probe list has no false positives
+    on this data (deterministic), so the oracle is an exact IN check."""
+    import numpy as np
+
+    from heavy_hitters_spark.core import Bloom
+    from heavy_hitters_spark.spark import build_sketch, key_id, key_id_col, tokens
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ids = tokens(docs).withColumn("id", key_id_col("token"))
+    bloom, _ = build_sketch(ids, Bloom(capacity=1_000_000, fpp=0.001), id_col="id")
+    probes = ["the", "value", "zzz-not-a-token", "spark", "qqq-missing"]
+    hits = bloom.contains(np.array([key_id(t) for t in probes], dtype=np.uint64))
+    return spark.createDataFrame(
+        [(t, bool(h)) for t, h in zip(probes, hits)], "token string, member boolean"
+    ).orderBy("token")
+
+
 def _q_quantiles_tdigest(spark, sf):
     from heavy_hitters_spark.core import TDigest
     from heavy_hitters_spark.spark import build_sketch
@@ -280,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_freq_cm": _q_point_freq,
         "distinct_tokens_hll": _q_distinct_hll,
         "distinct_tokens_hll_rounded": _q_distinct_hll_rounded,
+        "bloom_membership": _q_bloom_membership,
         "quantiles_kll": _q_quantiles_kll,
         "quantiles_tdigest": _q_quantiles_tdigest,
         "range_count_dyadic": _q_range_count_dyadic,
@@ -432,5 +452,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_tokens_hll_rounded": f"""
             SELECT count(DISTINCT token) AS n_distinct FROM ({_TOKENS}) t WHERE token <> ''
+        """,
+        "bloom_membership": f"""
+            SELECT p.token,
+                   p.token IN (SELECT token FROM ({_TOKENS}) t WHERE token <> '') AS member
+            FROM (VALUES ('the'), ('value'), ('zzz-not-a-token'), ('spark'),
+                         ('qqq-missing')) p(token)
+            ORDER BY p.token
         """,
     }

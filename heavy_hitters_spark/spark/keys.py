@@ -87,6 +87,21 @@ def key_id_col(col: str | Column) -> Column:
     return F.xxhash64(c).bitwiseAND(F.lit(MASK32))
 
 
+def ip_to_uint32_col(col: str | Column) -> Column:
+    """Pack a dotted-quad IPv4 string into a uint32 item id — the
+    reference's NUST/DARPA input path packs source IPs the same way
+    before they enter the engine (precision_hh.c:543,597). Pure
+    Catalyst (split + shifts), codegen'd."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.split(c, r"\.")
+    return (
+        p.getItem(0).cast("long") * F.lit(1 << 24)
+        + p.getItem(1).cast("long") * F.lit(1 << 16)
+        + p.getItem(2).cast("long") * F.lit(1 << 8)
+        + p.getItem(3).cast("long")
+    )
+
+
 def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     """text → one row per token (stock Catalyst explode/split)."""
     return df.select(F.explode(F.split(F.col(text_col), " ")).alias("token")).where(

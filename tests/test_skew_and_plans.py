@@ -38,6 +38,22 @@ def test_salt_determinism(spark):
     assert all(0 <= r["__salt"] < 16 for r in a)
 
 
+def test_ip_to_uint32(spark):
+    """IPv4 packing parity with the reference parsers
+    (precision_hh.c:543,597: (a<<24)|(b<<16)|(c<<8)|d)."""
+    from heavy_hitters_spark.spark.keys import ip_to_uint32_col
+
+    df = spark.createDataFrame(
+        [("0.0.0.1",), ("10.0.0.1",), ("255.255.255.255",), ("192.168.1.42",)],
+        "ip string",
+    )
+    got = {r["ip"]: r["id"] for r in df.withColumn("id", ip_to_uint32_col("ip")).collect()}
+    assert got["0.0.0.1"] == 1
+    assert got["10.0.0.1"] == (10 << 24) + 1
+    assert got["255.255.255.255"] == (1 << 32) - 1
+    assert got["192.168.1.42"] == (192 << 24) + (168 << 16) + (1 << 8) + 42
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
