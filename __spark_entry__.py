@@ -60,6 +60,13 @@ def _q_token_count(spark, sf):
     return docs.select("doc_id", token_count_col("text").alias("n_tokens"))
 
 
+def _q_bpe_token_count(spark, sf):
+    from heavy_hitters_spark.functions.text import bpe_ish_count_col
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select("doc_id", bpe_ish_count_col("text").alias("n_pieces"))
+
+
 def _q_quality_scores(spark, sf):
     from heavy_hitters_spark.functions.text import quality_scores
 
@@ -284,6 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_event_types": _q_topk_event_types,
         # relational / text ops (oracle-gated)
         "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_token_count,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "dedup_exact": _q_dedup_exact,
@@ -351,6 +359,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]'))
+                       AS n_pieces
+            FROM documents
         """,
         "quality_scores": f"""
             WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
