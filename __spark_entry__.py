@@ -110,10 +110,12 @@ def _q_near_dup_minhash(spark, sf):
 
 
 def _q_simhash_pairs(spark, sf):
+    # 8 x 8-bit chunk bucketing: recall GUARANTEED for hamming <= 7
+    # (pigeonhole); radius 7 keeps candidate volume ~n^2/256 per chunk
     from heavy_hitters_spark.functions.dedup import near_dup_pairs_simhash
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return near_dup_pairs_simhash(docs, max_hamming=10)
+    return near_dup_pairs_simhash(docs, max_hamming=7)
 
 
 def _q_ann_topk(spark, sf):
@@ -137,10 +139,22 @@ def _q_ann_lsh_topk(spark, sf):
 
 
 def _q_cosine_near_dups(spark, sf):
+    """Planted-pair variant (oracle-gated): augment the embeddings with
+    scaled copies (vec_id + 10^7, embedding * 2 — same direction, so
+    cosine == 1 and every hyperplane sign agrees => LSH recall is
+    DETERMINISTIC for the planted pairs). threshold 0.99 excludes all
+    non-planted pairs on this data (max random cosine << 0.99), so the
+    output is exactly the planted set and a DuckDB exact all-pairs
+    oracle can gate it."""
     from heavy_hitters_spark.functions.similarity import cosine_near_dup_pairs
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return cosine_near_dup_pairs(emb, threshold=0.5)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    return cosine_near_dup_pairs(aug, threshold=0.99)
 
 
 def _q_distinct_tokens_exact(spark, sf):
@@ -190,6 +204,32 @@ def _q_quantiles_kll(spark, sf):
     from heavy_hitters_spark.queries import quantiles_events_value
 
     return quantiles_events_value(spark, sf)
+
+
+def _q_quantiles_kll_exact(spark, sf):
+    """Hybrid KLL->exact quantiles: sketch windows prune, exact passes
+    certify + resolve — deterministically equal to quantile_disc."""
+    from heavy_hitters_spark.queries import quantiles_events_value_exact
+
+    return quantiles_events_value_exact(spark, sf)
+
+
+def _q_quantiles_tdigest_exact(spark, sf):
+    from heavy_hitters_spark.queries import quantiles_events_value_exact_tdigest
+
+    return quantiles_events_value_exact_tdigest(spark, sf)
+
+
+def _q_topk_urls(spark, sf):
+    from heavy_hitters_spark.queries import topk_urls
+
+    return topk_urls(spark, sf, k=20)
+
+
+def _q_topk_hosts(spark, sf):
+    from heavy_hitters_spark.queries import topk_hosts
+
+    return topk_hosts(spark, sf, k=10)
 
 
 def _q_range_count_dyadic(spark, sf):
@@ -289,6 +329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phi_heavy_users": _q_phi_heavy_users,
         "phi_heavy_users_const": _q_phi_heavy_users_const,
         "topk_event_types": _q_topk_event_types,
+        "topk_urls": _q_topk_urls,
+        "topk_hosts": _q_topk_hosts,
         # relational / text ops (oracle-gated)
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -310,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": _q_bloom_membership,
         "quantiles_kll": _q_quantiles_kll,
         "quantiles_tdigest": _q_quantiles_tdigest,
+        "quantiles_kll_exact": _q_quantiles_kll_exact,
+        "quantiles_tdigest_exact": _q_quantiles_tdigest_exact,
         "range_count_dyadic": _q_range_count_dyadic,
         "l2_norm_cs": _q_l2_norm,
         "simhash_pairs": _q_simhash_pairs,
@@ -438,7 +482,8 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 3),
             scored AS (SELECT q.query_id, e.vec_id,
-                              list_cosine_similarity(q.qv, e.embedding) AS score
+                              list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                                     CAST(e.embedding AS DOUBLE[])) AS score
                        FROM q CROSS JOIN embeddings e),
             ranked AS (SELECT query_id, vec_id, score,
                               row_number() OVER (PARTITION BY query_id
@@ -474,4 +519,48 @@ def oracle_sql() -> dict[str, str]:
                          ('qqq-missing')) p(token)
             ORDER BY p.token
         """,
+        "topk_urls": f"""
+            WITH u AS (SELECT 'https://' || source || '.' || lang || '.example.com/p'
+                              || CAST(n_chars % 50 AS VARCHAR) AS url
+                       FROM documents)
+            SELECT url, count(*) AS freq FROM u
+            GROUP BY url ORDER BY freq DESC, url ASC LIMIT 20
+        """,
+        "topk_hosts": """
+            WITH h AS (SELECT source || '.' || lang || '.example.com' AS host
+                       FROM documents)
+            SELECT host, count(*) AS freq FROM h
+            GROUP BY host ORDER BY freq DESC, host ASC LIMIT 10
+        """,
+        "quantiles_kll_exact": _QUANTILES_SQL,
+        "quantiles_tdigest_exact": _QUANTILES_SQL,
+        "cosine_near_dups": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000000 AS vec_id,
+                       list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding
+                FROM embeddings WHERE vec_id < 40
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.99
+        """,
     }
+
+
+_QS = "[0.1, 0.25, 0.5, 0.75, 0.9, 0.99]"
+
+# exact quantiles over the integer value grid (value*100 truncated toward
+# zero — matching Spark's cast('long')); quantile_disc = value at 1-based
+# rank max(1, ceil(q*n)), which is what the hybrid KLL->exact query resolves
+_QUANTILES_SQL = f"""
+    WITH g AS (SELECT CAST(trunc(value * 100) AS BIGINT) AS v FROM events),
+    a AS (SELECT quantile_disc(v, {_QS}) AS vs FROM g)
+    SELECT unnest({_QS}) AS q,
+           round(unnest(vs) / 100.0, 6) AS value_est
+    FROM a ORDER BY q
+"""

@@ -102,13 +102,17 @@ class CountMin(Sketch):
 
     def _update_chunk(self, items, counts) -> None:
         x = as_u64(items)
-        c = as_i64(counts, len(x))
-        self.norm += int(c.sum())
+        if counts is None:
+            c = None
+            self.norm += len(x)
+        else:
+            c = as_i64(counts, len(x))
+            self.norm += int(c.sum())
         if self.conservative:
             # pre-aggregate duplicates so each key is applied once
             ux, inv = np.unique(x, return_inverse=True)
             uc = np.zeros(len(ux), dtype=np.int64)
-            np.add.at(uc, inv, c)
+            np.add.at(uc, inv, 1 if c is None else c)
             h = self._rows(ux)
             est = self.table[np.arange(self.d)[:, None], h].min(axis=0)
             target = est + uc
@@ -119,13 +123,18 @@ class CountMin(Sketch):
             flat = (h + (np.arange(self.d, dtype=np.int64) * self.w)[:, None]).ravel()
             ft = self.table.reshape(-1)
             # density-adaptive scatter: sparse batches touch only their
-            # own cells (np.add.at); dense batches amortize a full-table
-            # bincount pass (weight sums exact in float64 per batch)
-            cc = np.broadcast_to(c, (self.d, len(c))).ravel()
-            if len(x) < 2 * self.w:
-                np.add.at(ft, flat, cc)
+            # own cells (np.add.at); dense unweighted batches amortize a
+            # full-table bincount pass. Weighted batches always go through
+            # np.add.at: float64-weighted bincount loses integer precision
+            # past 2^53, which would silently corrupt turnstile counters.
+            if counts is None:
+                if len(x) >= 2 * self.w:
+                    ft += np.bincount(flat, minlength=self.d * self.w)
+                else:
+                    np.add.at(ft, flat, 1)
             else:
-                ft += np.bincount(flat, weights=cc, minlength=self.d * self.w).astype(np.int64)
+                cc = np.broadcast_to(c, (self.d, len(c))).ravel()
+                np.add.at(ft, flat, cc)
 
     def point(self, items) -> np.ndarray:
         """Batch point query: min over rows (count_min.c:83-111)."""

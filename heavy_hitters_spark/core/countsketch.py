@@ -118,10 +118,15 @@ class CountSketch(Sketch):
         flat = (h + (np.arange(self.d, dtype=np.int64) * self.w)[:, None]).ravel()
         cc = (s * c).ravel()  # d x n signed weights
         ft = self.table.reshape(-1)
-        if len(x) < 2 * self.w:  # density-adaptive, as CountMin
-            np.add.at(ft, flat, cc)
+        # dense unweighted batches: two exact unweighted bincounts (one per
+        # sign); weighted batches use np.add.at — float64-weighted bincount
+        # truncates integer sums past 2^53 (turnstile corruption)
+        if counts is None and len(x) >= 2 * self.w:
+            pos = cc > 0
+            ft += np.bincount(flat[pos], minlength=self.d * self.w)
+            ft -= np.bincount(flat[~pos], minlength=self.d * self.w)
         else:
-            ft += np.bincount(flat, weights=cc, minlength=self.d * self.w).astype(np.int64)
+            np.add.at(ft, flat, cc)
 
     def point(self, items) -> np.ndarray:
         x = as_u64(np.atleast_1d(np.asarray(items)))

@@ -33,11 +33,13 @@ _M64 = 0xFFFFFFFFFFFFFFFF
 
 
 def dedup_exact(df: DataFrame, key_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id row per exact key. Hash-groupBy; with AQE this
-    is one shuffle on xxhash64(key) — at scale, group on the hash, not
-    the full text, to keep shuffle rows narrow."""
+    """Keep the lowest-id row per exact key. Hash-groupBy on a 128-bit
+    key (md5) so shuffle rows stay narrow without the 64-bit collision
+    hazard: at 10^12 docs a 64-bit key folds ~10^4-10^5 distinct texts
+    together (birthday bound), silently dropping non-duplicates; with
+    128 bits the expected collision count is ~10^-14."""
     return (
-        df.withColumn("__h", F.xxhash64(F.col(key_col)))
+        df.withColumn("__h", F.md5(F.col(key_col).cast("binary")))
         .groupBy("__h")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
         .drop("__h")
@@ -49,18 +51,28 @@ def dedup_exact(df: DataFrame, key_col: str = "text", id_col: str = "doc_id") ->
 # ----------------------------------------------------------------------
 
 
+def shingle_grams(toks, n: int):
+    """array<string> of token n-grams; EMPTY array for docs with fewer
+    than n tokens (unguarded, F.sequence(0, size-n) is descending for
+    size<n and F.slice start 0 throws INVALID_PARAMETER_VALUE.START)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles_df(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct token n-gram shingles per doc (Catalyst-only: split +
-    transform + explode)."""
+    transform + explode). Docs shorter than n tokens produce no
+    shingles (matching the SQL-oracle semantics)."""
     toks = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        df.select(F.col(id_col), F.explode(shingle_grams(toks, n)).alias("shingle"))
         .distinct()
     )
 
@@ -242,16 +254,31 @@ def near_dup_pairs_simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """SimHash near-dups: bucket on 4 x 16-bit chunks (any pair within
-    hamming distance 3 shares at least one exact chunk — pigeonhole),
-    verify with popcount on candidates."""
+    """SimHash near-dups with GUARANTEED recall at the requested radius:
+    bucket on (max_hamming + 1) bit-chunks of the 64-bit simhash — by
+    pigeonhole, any pair within hamming distance max_hamming agrees
+    exactly on at least one chunk — then verify with popcount on
+    candidates only.
+
+    Scale note: chunk width = 64/(max_hamming+1) bits sets the bucket
+    count per chunk (2^width); small radii (<= 3, 16-bit chunks) keep
+    candidate volume ~n^2/2^16 per chunk and are the web-scale setting;
+    larger radii trade exponentially more candidates for recall."""
+    n_chunks = max_hamming + 1
+    if n_chunks > 64:
+        raise ValueError("max_hamming must be < 64")
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     sh = df.select(F.col(id_col), simhash_col(text_col).alias("sh"))
     chunk_structs = [
         F.struct(
             F.lit(i).alias("ck"),
-            F.shiftrightunsigned(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+            F.shiftrightunsigned(F.col("sh"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            .alias("cv"),
         )
-        for i in range(4)
+        for i in range(n_chunks)
     ]
     chunks = sh.select(
         id_col, "sh", F.explode(F.array(*chunk_structs)).alias("c")

@@ -91,12 +91,12 @@ class ConstSketchHH(Sketch):
         for lvl, (kind, state) in enumerate(self.levels):
             pref = x >> np.uint64(self.gran * lvl)
             if kind == "exact":
-                if len(x) < 2 * len(state):
-                    np.add.at(state, pref.astype(np.int64), c)
+                # dense unweighted: exact unweighted bincount; weighted:
+                # np.add.at (float64-weighted bincount truncates > 2^53)
+                if counts is None and len(x) >= 2 * len(state):
+                    state += np.bincount(pref.astype(np.int64), minlength=len(state))
                 else:
-                    state += np.bincount(
-                        pref.astype(np.int64), weights=c, minlength=len(state)
-                    ).astype(np.int64)
+                    np.add.at(state, pref.astype(np.int64), c)
             else:
                 a, bb = self.level_seeds[lvl]
                 h = self.family(pref, len(state), hash_M(len(state)), a, bb)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from .core import HLL, KLL, CountMin, CountSketch, MisraGries, SeedStream
 from .hh import DyadicHH
 from .spark import build_sketch, key_id, key_id_col, tokens
+from .spark.fused import build_token_sketch
 from .spark.keys import MASK32
 
 
@@ -49,46 +50,80 @@ def _token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 
-def topk_tokens(spark: SparkSession, sf_dir: str, k: int = 20, kc: int = 4096) -> DataFrame:
-    """Exact top-k tokens via Misra-Gries candidates + exact rescoring.
+def _mg_exact_topk(
+    ids: DataFrame, mg: MisraGries, key_col: str, k: int
+) -> DataFrame:
+    """Exact top-k from an MG candidate pass, with a SOUND certificate.
 
-    Recall certificate: MG guarantees every item with true freq >
-    L1/(kc+1) survives; if the exact k-th candidate count clears that
-    bar the hybrid answer IS the exact answer; else fall back."""
-    ids = _token_ids(spark, sf_dir)
-    mg, _ = build_sketch(ids, MisraGries(k=kc), id_col="id")
+    Any key absent from the MG summary has true count <= mg.decrement
+    (the exactly-tracked cumulative subtraction, maintained through
+    merges). So if the exact k-th candidate count is > decrement, no
+    absent key can belong to the top-k and the hybrid answer IS the
+    all-exact answer; otherwise fall back to the full exact plan.
+    (A len(candidates)-based gate is unsound: _shrink can drop counters
+    below k while decrement > 0 on tie-heavy data.)"""
+    spark = ids.sparkSession
     cand = [int(i) for i, _ in mg.candidates()]
+
+    def full_exact() -> DataFrame:
+        return (
+            ids.groupBy(key_col)
+            .agg(F.count("*").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc(key_col))
+            .limit(k)
+        )
+
+    if not cand:
+        return full_exact()
     cand_df = spark.createDataFrame([(c,) for c in cand], "id long")
     exact = (
         ids.join(F.broadcast(cand_df), "id")
-        .groupBy("token")
+        .groupBy(key_col)
         .agg(F.count("*").alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("token"))
+        .orderBy(F.desc("freq"), F.asc(key_col))
         .limit(k)
     )
     rows = exact.collect()
     kth = rows[-1]["freq"] if len(rows) >= k else 0
-    if len(cand) >= kc and kth <= mg.norm / (mg.k + 1):
-        # certificate failed: candidates may miss a true top-k item
-        exact = (
-            ids.groupBy("token")
-            .agg(F.count("*").alias("freq"))
-            .orderBy(F.desc("freq"), F.asc("token"))
-            .limit(k)
-        )
+    if kth <= mg.decrement:
+        return full_exact()
     return exact
+
+
+def topk_tokens(spark: SparkSession, sf_dir: str, k: int = 20, kc: int = 4096) -> DataFrame:
+    """Exact top-k tokens via Misra-Gries candidates + exact rescoring.
+
+    The MG pass runs on the FUSED build path (spark/fused.py: one Arrow
+    row per document, tokenize/dictionary-encode in Arrow C) — ~250x
+    less JVM->Python transfer than exploding tokens through mapInPandas.
+    The exact rescoring pass is pure Catalyst (explode + broadcast join
+    + groupBy)."""
+    mg, _ = build_token_sketch(_docs(spark, sf_dir), MisraGries(k=kc))
+    return _mg_exact_topk(_token_ids(spark, sf_dir), mg, "token", k)
 
 
 def phi_heavy_tokens(spark: SparkSession, sf_dir: str, phi: float = 0.02) -> DataFrame:
     """All tokens with freq >= phi*L1, exact counts. MG candidate pass
-    (kc chosen so the MG bound < phi*L1 ensures full recall) + exact
-    verify; precision errors are filtered exactly."""
+    on the fused build path + exact verify; precision errors are
+    filtered exactly. Recall certificate: any token absent from the MG
+    summary has true count <= mg.decrement; if decrement < phi*L1 the
+    candidate set provably contains every phi-heavy token (kc is chosen
+    so the worst-case bound L1/(kc+1) < phi*L1 already, but the witness
+    is checked, not assumed)."""
     kc = max(4096, int(math.ceil(2.0 / phi)))
+    mg, _ = build_token_sketch(_docs(spark, sf_dir), MisraGries(k=kc))
     ids = _token_ids(spark, sf_dir)
-    mg, _ = build_sketch(ids, MisraGries(k=kc), id_col="id")
+    total = mg.norm  # exact L1 (MG tracks it exactly)
+    if mg.decrement >= phi * total:
+        # certificate failed (cannot happen for kc >= 2/phi; belt+braces)
+        return (
+            ids.groupBy("token")
+            .agg(F.count("*").alias("freq"))
+            .where(F.col("freq") >= phi * total)
+            .orderBy(F.asc("token"))
+        )
     cand = [int(i) for i, _ in mg.candidates()]
     cand_df = spark.createDataFrame([(c,) for c in cand], "id long")
-    total = mg.norm  # exact L1 (MG tracks it exactly)
     return (
         ids.join(F.broadcast(cand_df), "id")
         .groupBy("token")
@@ -125,16 +160,39 @@ def phi_heavy_users(spark: SparkSession, sf_dir: str, phi: float = 0.005) -> Dat
 def topk_event_types(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     ev = _events(spark, sf_dir).withColumn("id", key_id_col("event_type"))
     mg, _ = build_sketch(ev, MisraGries(k=256), id_col="id")
-    cand_df = spark.createDataFrame(
-        [(int(i),) for i, _ in mg.candidates()], "id long"
+    return _mg_exact_topk(ev, mg, "event_type", k)
+
+
+def _docs_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Common-Crawl-style URL per document, derived from
+    existing columns (the testdata documents table carries no url; the
+    reference's per-host HH story — precision_hh.c:543,597 — needs one).
+    Same construction is mirrored in the DuckDB oracle SQL."""
+    docs = _docs(spark, sf_dir)
+    host = F.concat_ws(".", F.col("source"), F.col("lang"), F.lit("example.com"))
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p"), (F.col("n_chars") % 50).cast("string")).alias("url"),
     )
-    return (
-        ev.join(F.broadcast(cand_df), "id")
-        .groupBy("event_type")
-        .agg(F.count("*").alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("event_type"))
-        .limit(k)
-    )
+
+
+def topk_urls(spark: SparkSession, sf_dir: str, k: int = 20, kc: int = 4096) -> DataFrame:
+    """Exact top-k URLs: MG candidates over url ids + exact rescoring
+    (reference's per-key HH semantics on the URL key)."""
+    urls = _docs_urls(spark, sf_dir).withColumn("id", key_id_col("url"))
+    mg, _ = build_sketch(urls, MisraGries(k=kc), id_col="id")
+    return _mg_exact_topk(urls, mg, "url", k)
+
+
+def topk_hosts(spark: SparkSession, sf_dir: str, k: int = 10, kc: int = 4096) -> DataFrame:
+    """Exact top-k hosts (parse_url(url,'HOST') — JVM-side) via MG
+    candidates + exact rescoring; the reference's whole NUST/DARPA input
+    path is per-host/IP heavy hitters (precision_hh.c:543,597)."""
+    hosts_df = _docs_urls(spark, sf_dir).select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    ).withColumn("id", key_id_col("host"))
+    mg, _ = build_sketch(hosts_df, MisraGries(k=kc), id_col="id")
+    return _mg_exact_topk(hosts_df, mg, "host", k)
 
 
 # ----------------------------------------------------------------------
@@ -144,11 +202,10 @@ def topk_event_types(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
 
 def point_freq_tokens(spark: SparkSession, sf_dir: str, probe_tokens: list[str] | None = None) -> DataFrame:
     """Count-Min point-frequency estimates for probe tokens (>= exact,
-    within eps*L1 w.p. 1-delta)."""
+    within eps*L1 w.p. 1-delta). Fused one-row-per-doc build."""
     probe_tokens = probe_tokens or ["the", "a", "value", "table", "spark"]
-    ids = _token_ids(spark, sf_dir)
     cm_t = CountMin(width=1 << 18, depth=5, hash_family="ms", seed_stream=SeedStream(1234, 5678))
-    cm, _ = build_sketch(ids, cm_t, id_col="id")
+    cm, _ = build_token_sketch(_docs(spark, sf_dir), cm_t)
     est = cm.point(np.array([key_id(t) for t in probe_tokens], dtype=np.uint64))
     return spark.createDataFrame(
         [(t, int(e)) for t, e in zip(probe_tokens, est)], "token string, est_freq long"
@@ -156,8 +213,7 @@ def point_freq_tokens(spark: SparkSession, sf_dir: str, probe_tokens: list[str] 
 
 
 def distinct_tokens_hll(spark: SparkSession, sf_dir: str, p: int = 14) -> DataFrame:
-    ids = _token_ids(spark, sf_dir)
-    hll, _ = build_sketch(ids, HLL(p=p), id_col="id")
+    hll, _ = build_token_sketch(_docs(spark, sf_dir), HLL(p=p))
     return spark.createDataFrame([(float(hll.estimate()),)], "distinct_est double")
 
 
@@ -188,8 +244,117 @@ def range_count_users(spark: SparkSession, sf_dir: str, lo: int = 10, hi: int = 
 
 def l2_norm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS L2-norm estimate of the token frequency vector from a merged
-    Count-Sketch (reference: src/norm/l2-sketch.c, computed associatively)."""
-    ids = _token_ids(spark, sf_dir)
+    Count-Sketch (reference: src/norm/l2-sketch.c, computed associatively).
+    Fused one-row-per-doc build."""
     cs_t = CountSketch(width=1 << 14, depth=7, hash_family="ms", seed_stream=SeedStream(1234, 5678))
-    cs, _ = build_sketch(ids, cs_t, id_col="id")
+    cs, _ = build_token_sketch(_docs(spark, sf_dir), cs_t)
     return spark.createDataFrame([(float(cs.l2_norm()), int(cs.norm))], "l2_est double, l1 long")
+
+
+# ----------------------------------------------------------------------
+# hybrid sketch -> exact quantiles
+# ----------------------------------------------------------------------
+
+
+def _exact_quantiles_windowed(
+    vals: DataFrame, qs: list[float], windows: list[tuple[int, int]]
+) -> list[int]:
+    """Exact q-quantiles of an integer column ``v`` given per-q value
+    windows from a sketch. The windows only PRUNE: an exact certificate
+    (count below window < target rank <= count through window) is
+    checked per q, with a full exact fallback when it fails — so the
+    result never depends on the sketch's accuracy.
+
+    Scale shape: ONE conditional-aggregate scan for the below-window
+    counts + ONE filtered groupBy over the union of (narrow) windows;
+    both Catalyst with pushed range predicates."""
+    n_total = None
+    below_aggs = [
+        F.sum(F.when(F.col("v") < int(lo), 1).otherwise(0)).alias(f"b{i}")
+        for i, (lo, _) in enumerate(windows)
+    ] + [F.count("*").alias("n")]
+    below_row = vals.agg(*below_aggs).collect()[0]
+    n_total = int(below_row["n"])
+    cond = None
+    for lo, hi in windows:
+        c = (F.col("v") >= int(lo)) & (F.col("v") <= int(hi))
+        cond = c if cond is None else (cond | c)
+    in_win = (
+        vals.where(cond).groupBy("v").agg(F.count("*").alias("c")).orderBy("v").collect()
+    )
+    full = None  # lazy exact fallback: all distinct values + counts
+    out: list[int] = []
+    for i, (q, (lo, hi)) in enumerate(zip(qs, windows)):
+        r = max(1, math.ceil(q * n_total))  # 1-based target rank
+        cum = int(below_row[f"b{i}"])
+        ans = None
+        if cum < r:
+            for row in in_win:
+                if lo <= row["v"] <= hi:
+                    cum += row["c"]
+                    if cum >= r:
+                        ans = int(row["v"])
+                        break
+        if ans is None:
+            # certificate failed: window missed the true quantile
+            if full is None:
+                full = vals.groupBy("v").agg(F.count("*").alias("c")).orderBy("v").collect()
+            cum = 0
+            for row in full:
+                cum += row["c"]
+                if cum >= r:
+                    ans = int(row["v"])
+                    break
+        out.append(ans)
+    return out
+
+
+def _events_value_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trunc toward zero, matching CAST(trunc(value*100) AS BIGINT) in SQL
+    return _events(spark, sf_dir).select((F.col("value") * 100).cast("long").alias("v"))
+
+
+def quantiles_events_value_exact(
+    spark: SparkSession, sf_dir: str, qs: list[float] | None = None, pad: float = 0.02
+) -> DataFrame:
+    """EXACT quantiles via KLL pruning: the sketch proposes a value
+    window per q (quantile(q +- pad)), the exact passes certify + resolve
+    inside it (fallback to full exact when the certificate fails). Same
+    hybrid shape as topk_tokens: sketch for candidate pruning, Catalyst
+    for the exact answer."""
+    qs = qs or [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = _events_value_grid(spark, sf_dir)
+    kll, _ = build_sketch(vals, KLL(k=256), id_col="v")
+    windows = []
+    for q in qs:
+        lo = kll.quantile(max(0.0, q - pad))[0]
+        hi = kll.quantile(min(1.0, q + pad))[0]
+        windows.append((int(math.floor(lo)) - 1, int(math.ceil(hi)) + 1))
+    exact = _exact_quantiles_windowed(vals, qs, windows)
+    return spark.createDataFrame(
+        [(float(q), round(v / 100.0, 6)) for q, v in zip(qs, exact)],
+        "q double, value_est double",
+    ).orderBy("q")
+
+
+def quantiles_events_value_exact_tdigest(
+    spark: SparkSession, sf_dir: str, qs: list[float] | None = None, pad: float = 0.05
+) -> DataFrame:
+    """Same hybrid exact-quantile query with t-digest as the pruning
+    sketch (windows from quantile(q +- pad); certificate + fallback make
+    the answer exact regardless of digest accuracy)."""
+    from .core import TDigest
+
+    qs = qs or [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = _events_value_grid(spark, sf_dir)
+    td, _ = build_sketch(vals, TDigest(200), id_col="v")
+    windows = []
+    for q in qs:
+        lo = td.quantile(max(0.0, q - pad))[0]
+        hi = td.quantile(min(1.0, q + pad))[0]
+        windows.append((int(math.floor(lo)) - 1, int(math.ceil(hi)) + 1))
+    exact = _exact_quantiles_windowed(vals, qs, windows)
+    return spark.createDataFrame(
+        [(float(q), round(v / 100.0, 6)) for q, v in zip(qs, exact)],
+        "q double, value_est double",
+    ).orderBy("q")

@@ -185,3 +185,35 @@ def test_multimodal_pipeline(spark):
     assert fs.where(F.col("frame_idx") % 5 != 0).count() == 0
     with pytest.raises(NotImplementedError):
         real_decoder(b"\x00")
+
+
+def test_shingles_short_docs_no_crash(spark):
+    """Docs with fewer than n tokens must yield zero shingles, not a
+    SparkRuntimeException (F.sequence(0, size-n) descends for size<n)."""
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, "single"), (2, ""), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    sh = shingles_df(df, n=3)
+    per = {r["doc_id"]: r["n"] for r in sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert per == {3: 3}  # only the 5-token doc produces trigrams
+    assert jaccard_pairs(df, threshold=0.1, n=3).count() == 0
+
+
+def test_simhash_pigeonhole_radius(spark, dup_docs):
+    """Generic (max_hamming+1)-chunk bucketing: output at radius r must
+    equal the exact hamming-<=r filter over ALL pairs (recall guaranteed
+    by pigeonhole, precision by the popcount verify)."""
+    from heavy_hitters_spark.functions.dedup import simhash_col
+
+    sh = {r["doc_id"]: r["sh"] for r in dup_docs.select("doc_id", simhash_col("text").alias("sh")).collect()}
+    ids = sorted(sh)
+    for radius in (3, 7):
+        expect = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin((sh[a] ^ sh[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= radius
+        }
+        got = {(r["doc_a"], r["doc_b"]) for r in near_dup_pairs_simhash(dup_docs, max_hamming=radius).collect()}
+        assert got == expect

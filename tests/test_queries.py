@@ -128,3 +128,26 @@ def test_pages_phi_hh_end_to_end(spark):
     }
     assert got == exact and len(got) > 0
     tok.unpersist()
+
+
+def test_mg_exact_topk_certificate_on_ties(spark):
+    """Tie-heavy data: MG _shrink can leave zero candidates while
+    decrement > 0 — the decrement-based certificate must fall back to
+    the exact plan instead of silently returning a wrong 'exact' top-k
+    (a len(candidates)-based gate would not)."""
+    import numpy as np
+
+    from heavy_hitters_spark.core import MisraGries
+    from heavy_hitters_spark.queries import _mg_exact_topk
+    from heavy_hitters_spark.spark import key_id_col
+
+    rows = [(f"k{i % 50}",) for i in range(500)]  # 50 keys, 10 each (all tied)
+    df = spark.createDataFrame(rows, "token string").withColumn("id", key_id_col("token"))
+    mg = MisraGries(k=4)
+    ids = np.array([r["id"] for r in df.collect()], dtype=np.uint64)
+    mg.update_batch(ids)
+    got = _mg_exact_topk(df, mg, "token", 5).collect()
+    exact = (
+        df.groupBy("token").count().orderBy(F.desc("count"), F.asc("token")).limit(5).collect()
+    )
+    assert [(r["token"], r["freq"]) for r in got] == [(r["token"], r["count"]) for r in exact]

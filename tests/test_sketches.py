@@ -215,3 +215,30 @@ def test_weighted_stream(rng):
     cm = CountMin(epsilon=0.001, delta=0.01, b=2, seed_stream=SeedStream(1, 2))
     cm.update_batch(items, weights)
     assert np.array_equal(cm.point(items), weights)
+
+
+def test_weighted_updates_exact_past_2_53():
+    """Weighted batches whose per-cell sums exceed 2^53 must stay exact
+    (float64-weighted bincount would truncate silently)."""
+    big = (1 << 52) + 1
+    n = 64  # dense-path trigger for w=8 (n >= 2*w)
+    items = np.full(n, 7, dtype=np.uint64)
+    counts = np.full(n, big, dtype=np.int64)
+    cm = CountMin(width=8, depth=3, seed_stream=SeedStream(1, 2))
+    cm.update_batch(items, counts)
+    assert int(cm.point(np.array([7], dtype=np.uint64))[0]) == n * big
+    cs = CountSketch(width=8, depth=3, seed_stream=SeedStream(1, 2))
+    cs.update_batch(items, counts)
+    assert int(cs.point(np.array([7], dtype=np.uint64))[0]) == n * big
+
+
+def test_misra_gries_decrement_witness_on_ties():
+    """Tie-heavy input can shrink MG below k counters (even to zero)
+    while decrement > 0 — the decrement witness must reflect the true
+    worst-case undercount so hybrid queries can gate on it."""
+    mg = MisraGries(k=4)
+    mg.update_batch(np.array([1, 2, 3, 4, 5], dtype=np.uint64))
+    assert len(mg.counters) < 4
+    assert mg.decrement >= 1
+    # absent items are undercounted by at most decrement
+    assert all(1 - mg.decrement <= int(e) for e in mg.point(np.arange(1, 6, dtype=np.uint64)))
