@@ -83,20 +83,30 @@ def jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing >= 1 shingle.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
 
-    The self-join is on the shingle value — shuffle is bounded by
-    shingle frequency; for web-scale, cap hot shingles (stop-shingles)
-    before joining."""
+    Pair intersections come from per-shingle bucket pair-generation
+    (groupBy shingle -> in-bucket pairs -> count per pair == |A∩B|,
+    since shingles are distinct per doc) — one scan of the shingle
+    table instead of a self-join that re-executes it on both sides.
+
+    ``max_shingle_df`` is the STOP-SHINGLE cap for web scale: shingles
+    appearing in more docs than the cap are dropped before pair
+    generation, bounding the otherwise-quadratic hot-shingle buckets.
+    With the cap on, pairs that share ONLY stop-shingles are missed and
+    intersections count non-stop shingles only (sizes stay exact) — a
+    documented recall/undercount trade; leave None for exact results."""
     sh = shingles_df(df, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(dfreq.where(F.col("df") <= max_shingle_df).select("shingle"), "shingle")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        _bucket_pairs_all(sh, "shingle", id_col)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     return (
@@ -108,39 +118,110 @@ def jaccard_pairs(
     )
 
 
+def _bucket_pairs_all(keyed: DataFrame, bucket_col: str, id_col: str) -> DataFrame:
+    """Like _bucket_pairs but WITHOUT the distinct: one output row per
+    (bucket, pair) co-occurrence, so downstream counts per pair equal
+    the number of shared buckets."""
+    ids = F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x: F.transform("ids", lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
+    return (
+        keyed.groupBy(bucket_col)
+        .agg(ids)
+        .where(F.size("ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+    )
+
+
 # ----------------------------------------------------------------------
 # MinHash + LSH
 # ----------------------------------------------------------------------
 
 
+def shingle_hashes_col(text_col, shingle_n: int = 3):
+    """array<long>: xxhash64 of each token n-gram shingle, computed
+    ENTIRELY in Catalyst (split + transform + xxhash64 — whole-stage
+    codegen, zero Python). Docs shorter than n tokens fall back to one
+    whole-text shingle (so every doc has >= 1 hash and LSH still
+    buckets short docs)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ")
+    grams = F.when(F.size(toks) >= shingle_n, shingle_grams(toks, shingle_n)).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+    return F.transform(grams, lambda g: F.xxhash64(g))
+
+
 def minhash_col(text_col, n_hashes: int = 128, shingle_n: int = 3, seed: int = 0x51A5):
     """array<long> MinHash signature over token n-gram shingles.
-    Arrow-batched pandas kernel; per-doc work is vectorized numpy."""
+
+    Shingle hashing is JVM-side (shingle_hashes_col); the Arrow kernel
+    only computes the n_hashes affine minima over the hash arrays — one
+    flatten + n_hashes (multiply, add, segmented-min) C passes per
+    batch, no per-token Python anywhere. Signatures are bit-identical
+    to hashing driver-side with spark.keys.xxh64 (same seed-42 xxhash64)."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(ArrayType(LongType()))
-    def _mh(s: pd.Series) -> pd.Series:
-        from ..core import memtune  # noqa: F401
-        from ..spark.keys import xxh64
+    from .segmented import flatten_segments, segment_min
 
+    @pandas_udf(ArrayType(LongType()))
+    def _mh(hashes: pd.Series) -> pd.Series:
+        from ..core import memtune  # noqa: F401
+
+        n = len(hashes)
+        if n == 0:
+            return pd.Series([], dtype=object)
         # per-hash affine mixers a*x+b over splitmix-derived constants
         ab = splitmix64(np.arange(2 * n_hashes, dtype=np.uint64), seed)
-        a = (ab[:n_hashes] | np.uint64(1))[:, None]
-        b = ab[n_hashes:][:, None]
-        out = []
+        a = ab[:n_hashes] | np.uint64(1)
+        b = ab[n_hashes:]
+        flat, starts, _, nz = flatten_segments(hashes)
+        sig = np.empty((n, n_hashes), dtype=np.uint64)
         with np.errstate(over="ignore"):
-            for txt in s:
-                toks = txt.split(" ") if txt else []
-                if len(toks) < shingle_n:
-                    sh = [" ".join(toks)] if toks else [""]
-                else:
-                    sh = {" ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)}
-                hv = np.array([xxh64(x.encode()) for x in sh], dtype=np.uint64)[None, :]
-                sig = (a * hv + b).min(axis=1)  # n_hashes minima, uint64 wrap
-                out.append(sig.view(np.int64).tolist())
-        return pd.Series(out)
+            for j in range(n_hashes):
+                sig[nz, j] = segment_min(a[j] * flat + b[j], starts)
+        sig[~nz] = np.uint64(0)  # unreachable: every doc has >= 1 shingle
+        out = sig.view(np.int64)
+        return pd.Series([row.tolist() for row in out])
 
-    return _mh(text_col if not isinstance(text_col, str) else F.col(text_col))
+    return _mh(shingle_hashes_col(text_col, shingle_n))
+
+
+def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+    """(bucket..., id) rows -> distinct candidate pairs (doc_a < doc_b).
+
+    ONE shuffle (groupBy bucket, collect sorted ids) + in-bucket pair
+    expansion with Catalyst array ops — instead of a self-join that
+    re-executes the whole upstream plan for both sides. Bucket pair
+    count is inherently quadratic in bucket size (same as the join);
+    web-scale inputs bound it by bucket design (band width / chunk bits)
+    and the stop-shingle-style caps upstream."""
+    ids = F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x: F.transform("ids", lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
+    return (
+        keyed.groupBy(*bucket_cols)
+        .agg(ids)
+        .where(F.size("ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
 
 
 def lsh_candidates(
@@ -153,7 +234,9 @@ def lsh_candidates(
     seed: int = 0x51A5,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (doc_a < doc_b). rows_per_band =
-    n_hashes // bands; collision threshold s* ~ (1/bands)^(1/rows)."""
+    n_hashes // bands; collision threshold s* ~ (1/bands)^(1/rows).
+    Candidates come from bucket pair-generation (one aggregation), so
+    the MinHash signatures are computed exactly once."""
     rows = n_hashes // bands
     sig = df.select(F.col(id_col), minhash_col(text_col, n_hashes, shingle_n, seed).alias("sig"))
     banded = sig.select(
@@ -168,17 +251,7 @@ def lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
-    )
+    return _bucket_pairs(banded, ["band", "bh"], id_col)
 
 
 def near_dup_pairs_minhash(
@@ -191,28 +264,25 @@ def near_dup_pairs_minhash(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """LSH candidates -> exact-Jaccard verification -> pairs >= threshold.
-    Deterministic output (the sketch only prunes; the filter is exact)."""
+    Deterministic output (the sketch only prunes; the filter is exact).
+
+    Verification joins each candidate pair with the two docs' DISTINCT
+    shingle-string arrays and computes |A∩B| via array_intersect —
+    exact, and shuffles only candidate docs' arrays (never a shingle
+    self-join over the corpus)."""
     cand = lsh_candidates(df, n_hashes, bands, shingle_n, text_col, id_col)
-    sh = shingles_df(df, shingle_n, text_col, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    # verification via shingle join restricted to candidate docs
-    cand_docs = (
-        cand.select(F.col("doc_a").alias(id_col))
-        .union(cand.select("doc_b"))
-        .distinct()
+    toks = F.split(F.col(text_col), " ")
+    doc_sh = df.select(
+        F.col(id_col), F.array_distinct(shingle_grams(toks, shingle_n)).alias("sh_set")
     )
-    sh_c = sh.join(F.broadcast(cand_docs), id_col)
-    a2, b2 = sh_c.alias("a"), sh_c.alias("b")
-    inter = (
-        a2.join(b2, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-        .join(cand, ["doc_a", "doc_b"])  # only LSH candidates
+    joined = (
+        cand.join(doc_sh.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sa")), "doc_a")
+        .join(doc_sh.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sb")), "doc_b")
     )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        joined.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -223,29 +293,48 @@ def near_dup_pairs_minhash(
 # ----------------------------------------------------------------------
 
 
+def token_hashes_col(text_col):
+    """array<long>: xxhash64 of each whitespace token, JVM-side
+    (codegen). Empty text -> empty array (parity with the previous
+    Python kernel's `if txt else []`)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(
+        c != "", F.transform(F.split(c, " "), lambda t: F.xxhash64(t))
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def simhash_col(text_col, seed: int = 0x51AA):
-    """64-bit SimHash over whitespace tokens (sign of per-bit weight sums)."""
+    """64-bit SimHash over whitespace tokens (sign of per-bit weight
+    sums). Token hashing is JVM-side; the Arrow kernel does 64
+    (shift, mask, segmented-sum) C passes over the flattened hash
+    vector — no per-token Python. Bit-identical to the driver-side
+    xxh64+splitmix64 chain."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(LongType())
-    def _sh(s: pd.Series) -> pd.Series:
-        from ..core import memtune  # noqa: F401
-        from ..spark.keys import xxh64
+    from .segmented import flatten_segments, segment_sum
 
-        out = np.empty(len(s), dtype=np.int64)
-        bits = np.arange(64, dtype=np.uint64)
-        for i, txt in enumerate(s):
-            toks = txt.split(" ") if txt else []
-            if not toks:
-                out[i] = 0
-                continue
-            hv = splitmix64(np.array([xxh64(t.encode()) for t in toks], dtype=np.uint64), seed)
-            bitmat = ((hv[:, None] >> bits) & np.uint64(1)).astype(np.int64)  # n x 64
-            v = (2 * bitmat - 1).sum(axis=0)
-            out[i] = np.int64(np.uint64(((v > 0).astype(np.uint64) << bits).sum(dtype=np.uint64)).view(np.int64))
+    @pandas_udf(LongType())
+    def _sh(hashes: pd.Series) -> pd.Series:
+        from ..core import memtune  # noqa: F401
+
+        n = len(hashes)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        flat, starts, lens_nz, nz = flatten_segments(hashes)
+        out = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            hv = splitmix64(flat, seed)
+            sh = np.zeros(len(lens_nz), dtype=np.uint64)
+            one = np.uint64(1)
+            for b in range(64):
+                ones = ((hv >> np.uint64(b)) & one).astype(np.int64)
+                pop = segment_sum(ones, starts)  # per-doc popcount of bit b
+                # sign of sum(+-1) == (2*pop > len)
+                sh |= ((2 * pop > lens_nz).astype(np.uint64)) << np.uint64(b)
+            out[nz] = sh.view(np.int64)
         return pd.Series(out)
 
-    return _sh(text_col if not isinstance(text_col, str) else F.col(text_col))
+    return _sh(token_hashes_col(text_col))
 
 
 def near_dup_pairs_simhash(
@@ -283,23 +372,56 @@ def near_dup_pairs_simhash(
     chunks = sh.select(
         id_col, "sh", F.explode(F.array(*chunk_structs)).alias("c")
     ).select(id_col, "sh", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+    # per-bucket pairwise popcount verify as a VECTORIZED numpy kernel:
+    # repartition by bucket key + mapInPandas with IN-KERNEL grouping
+    # (np boundary detection) — one Python invocation per partition, not
+    # per bucket (applyInPandas over thousands of tiny buckets measured
+    # ~4 s of pure per-group overhead on 5k docs). Hot buckets cost
+    # m^2/2 C-speed xor+LUT-popcount word ops in ~32 MB row blocks.
+    mh = int(max_hamming)
+
+    def part_fn(batches):
+        from ..core import memtune  # noqa: F401
+
+        pdfs = list(batches)  # groups are whole within a partition
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        key = (pdf["ck"].to_numpy().astype(np.int64) << 32) | pdf["cv"].to_numpy().astype(np.int64)
+        ids0 = pdf[id_col].to_numpy()
+        # sort by (bucket, id): groups contiguous, ids ascending in-group
+        order = np.lexsort((ids0, key))
+        ids_s, keys = ids0[order], key[order]
+        sig_s = pdf["sh"].to_numpy()[order].astype(np.int64).view(np.uint64)
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+        out_a, out_b, out_h = [], [], []
+        for g0, g1 in zip(bounds[:-1], bounds[1:]):
+            m = int(g1 - g0)
+            if m < 2:
+                continue
+            ids, sig = ids_s[g0:g1], sig_s[g0:g1]
+            block = max(1, (1 << 22) // m)  # ~32 MB xor blocks
+            for i0 in range(0, m - 1, block):
+                i1 = min(i0 + block, m - 1)
+                x = sig[i0:i1, None] ^ sig[None, :]
+                pc = lut[x.view(np.uint8)].reshape(i1 - i0, m, 8).sum(axis=2, dtype=np.uint8)
+                ri, ci = np.nonzero(pc <= mh)
+                keep = ci > (ri + i0)  # strict upper triangle: doc_a < doc_b
+                out_a.append(ids[ri[keep] + i0])
+                out_b.append(ids[ci[keep]])
+                out_h.append(pc[ri[keep], ci[keep]].astype(np.int64))
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "doc_a": np.concatenate(out_a),
+                    "doc_b": np.concatenate(out_b),
+                    "hamming": np.concatenate(out_h),
+                }
+            )
+
+    return (
+        chunks.repartition(F.col("ck"), F.col("cv"))
+        .mapInPandas(part_fn, "doc_a long, doc_b long, hamming long")
         .distinct()
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).where(ham <= max_hamming).select(
-        "doc_a", "doc_b", "hamming"
     )

@@ -96,26 +96,27 @@ def extract_features(
     def fn(batches):
         from ..core import memtune  # noqa: F401
 
+        def featurize(payload: bytes) -> tuple[float, list[float]]:
+            # decode is inherently per-row (opaque codec); everything
+            # around it is numpy over the decoded raster
+            flat = decoder(payload).astype(np.float64).ravel()
+            pads = (-len(flat)) % feature_dim  # "resize": average-pool
+            if pads:
+                flat = np.pad(flat, (0, pads))
+            return float(flat.mean()), flat.reshape(feature_dim, -1).mean(axis=1).tolist()
+
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                raster = decoder(r["payload"])
-                flat = raster.astype(np.float64).ravel()
-                # "resize": average-pool into feature_dim buckets
-                pads = (-len(flat)) % feature_dim
-                if pads:
-                    flat = np.pad(flat, (0, pads))
-                feat = flat.reshape(feature_dim, -1).mean(axis=1)
-                out.append(
-                    {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
-                        "n_bytes": len(r["payload"]),
-                        "mean_intensity": float(flat.mean()),
-                        "feature": feat.tolist(),
-                    }
-                )
-            yield pd.DataFrame(out)
+            payloads = pdf["payload"]
+            feats = [featurize(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": payloads.map(len).to_numpy(),
+                    "mean_intensity": np.array([m for m, _ in feats]),
+                    "feature": [f for _, f in feats],
+                }
+            )
 
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 

@@ -84,30 +84,41 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint_col(text: str | Column = "text", seed: int = 0xF1E5) -> Column:
     """64-bit rolling (polynomial) fingerprint over token hashes —
-    order-sensitive, unlike a bag-of-words hash. Arrow-batched pandas
-    kernel (the only Python step in this module)."""
+    order-sensitive, unlike a bag-of-words hash.
+
+    Closed form of the Horner recurrence h = h*P + v_j (mod 2^64):
+        h = seed * P^L + sum_j v_j * P^(L-1-j)
+    Token hashing is JVM-side (xxhash64 in an array transform); the
+    Arrow kernel computes the power table once per batch and reduces
+    each document with one segmented uint64 sum — no per-token Python."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(LongType())
-    def _fp(s: pd.Series) -> pd.Series:
-        from ..core import memtune  # noqa: F401
-        from ..spark.keys import xxh64
+    from .dedup import token_hashes_col
+    from .segmented import flatten_segments, segment_sum
 
-        out = np.empty(len(s), dtype=np.int64)
+    @pandas_udf(LongType())
+    def _fp(hashes: pd.Series) -> pd.Series:
+        from ..core import memtune  # noqa: F401
+
+        n = len(hashes)
+        if n == 0:
+            return pd.Series([], dtype="int64")
         P = np.uint64(1099511628211)  # FNV-ish odd multiplier
-        with np.errstate(over="ignore"):
-            for i, txt in enumerate(s):
-                toks = txt.split(" ") if txt else []
-                h = np.uint64(seed)
-                if toks:
-                    th = splitmix64(
-                        np.array([xxh64(t.encode()) for t in toks], dtype=np.uint64),
-                        seed,
-                    )
-                    for v in th:
-                        h = h * P + v  # wraps mod 2^64
-                out[i] = np.int64(h.view(np.int64)) if isinstance(h, np.uint64) else int(h)
+        flat, starts, lens_nz, nz = flatten_segments(hashes)
+        out = np.full(n, np.int64(np.uint64(seed).view(np.int64)), dtype=np.int64)
+        if len(flat):
+            with np.errstate(over="ignore"):
+                th = splitmix64(flat, seed)
+                maxlen = int(lens_nz.max())
+                pw = np.empty(maxlen + 1, dtype=np.uint64)
+                pw[0] = 1
+                np.cumprod(np.full(maxlen, P, dtype=np.uint64), out=pw[1:])
+                # exponent of token j in doc: len - 1 - position
+                pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens_nz)
+                expo = np.repeat(lens_nz, lens_nz) - 1 - pos
+                h = segment_sum(th * pw[expo], starts)  # wraps mod 2^64
+                h += np.uint64(seed) * pw[lens_nz]
+            out[nz] = h.view(np.int64)
         return pd.Series(out)
 
-    c = F.col(text) if isinstance(text, str) else text
-    return _fp(c)
+    return _fp(token_hashes_col(text))

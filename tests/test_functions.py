@@ -217,3 +217,81 @@ def test_simhash_pigeonhole_radius(spark, dup_docs):
         }
         got = {(r["doc_a"], r["doc_b"]) for r in near_dup_pairs_simhash(dup_docs, max_hamming=radius).collect()}
         assert got == expect
+
+
+def test_vectorized_kernels_bit_parity(spark):
+    """minhash/simhash/fingerprint now hash JVM-side (F.xxhash64 in an
+    array transform) + segmented numpy reductions; outputs must be
+    bit-identical to the reference driver-side xxh64 chain."""
+    from heavy_hitters_spark.core.hashing import splitmix64
+    from heavy_hitters_spark.functions.dedup import minhash_col, simhash_col
+    from heavy_hitters_spark.spark.keys import xxh64
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a b",          # shorter than shingle_n
+        "",             # empty
+        "single",
+        "x  y",         # double space -> empty token
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["mh"], r["sh"], r["fp"])
+        for r in df.select(
+            "doc_id",
+            minhash_col("text", n_hashes=16, shingle_n=3, seed=0x51A5).alias("mh"),
+            simhash_col("text", seed=0x51AA).alias("sh"),
+            fingerprint_col("text", seed=0xF1E5).alias("fp"),
+        ).collect()
+    }
+
+    ab = splitmix64(np.arange(32, dtype=np.uint64), 0x51A5)
+    a, b = (ab[:16] | np.uint64(1))[:, None], ab[16:][:, None]
+    P = np.uint64(1099511628211)
+    for i, txt in enumerate(texts):
+        toks = txt.split(" ") if txt else []
+        # minhash reference
+        if len(toks) < 3:
+            sh_set = [" ".join(toks)] if toks else [""]
+        else:
+            sh_set = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        hv = np.array([xxh64(x.encode()) for x in sh_set], dtype=np.uint64)[None, :]
+        with np.errstate(over="ignore"):
+            ref_mh = (a * hv + b).min(axis=1).view(np.int64).tolist()
+        assert got[i][0] == ref_mh, f"minhash mismatch doc {i}"
+        # simhash reference
+        if not toks:
+            ref_sh = 0
+        else:
+            th = splitmix64(np.array([xxh64(t.encode()) for t in toks], dtype=np.uint64), 0x51AA)
+            bits = np.arange(64, dtype=np.uint64)
+            v = (2 * ((th[:, None] >> bits) & np.uint64(1)).astype(np.int64) - 1).sum(axis=0)
+            ref_sh = int(np.uint64(((v > 0).astype(np.uint64) << bits).sum(dtype=np.uint64)).view(np.int64))
+        assert got[i][1] == ref_sh, f"simhash mismatch doc {i}"
+        # fingerprint reference (Horner loop)
+        h = np.uint64(0xF1E5)
+        if toks:
+            th = splitmix64(np.array([xxh64(t.encode()) for t in toks], dtype=np.uint64), 0xF1E5)
+            with np.errstate(over="ignore"):
+                for v in th:
+                    h = h * P + v
+        assert got[i][2] == int(np.int64(h.view(np.int64))), f"fingerprint mismatch doc {i}"
+
+
+def test_stop_shingle_cap_bounds_hot_buckets(spark):
+    """One shingle shared by EVERY doc: with the cap, the hot bucket is
+    dropped before pair generation (no quadratic stage) while genuinely
+    similar pairs survive via their other shingles."""
+    common = "zzz yyy xxx"  # one trigram shared by all docs
+    rows = [(i, f"{common} unique{i} tail{i} end{i}") for i in range(60)]
+    rows.append((500, rows[0][1]))  # true near-dup pair (0, 500): identical
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # capped intersection drops the hot shingle: 3 shared of 4+4 -> 0.6
+    capped = jaccard_pairs(df, threshold=0.5, n=3, max_shingle_df=10)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    assert got.get((0, 500)) == 0.6
+    # with the hot shingle dropped, unrelated docs share nothing
+    assert all(p == (0, 500) for p in got)
+    # uncapped still exact: the hot shingle alone gives jaccard 1/7 < 0.9
+    exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(df, threshold=0.9, n=3).collect()}
+    assert exact == {(0, 500)}
