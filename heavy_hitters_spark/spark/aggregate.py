@@ -47,6 +47,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from ..core.base import Sketch
@@ -135,6 +136,72 @@ def partial_states(
     sel = df.select(*cols, F.input_file_name().alias("__file")) if with_lineage else df.select(*cols)
     return sel.mapInPandas(
         _partial_fn(template.to_bytes(), id_col, weight_col), PARTIAL_SCHEMA
+    )
+
+
+WINDOWED_PARTIAL_SCHEMA = StructType(
+    [*PARTIAL_SCHEMA.fields, StructField("window_start", TimestampType())]
+)
+
+
+def _windowed_partial_fn(template_bytes: bytes, id_col: str, weight_col: str | None):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from ..core import memtune  # noqa: F401
+        from ..core.base import Sketch
+
+        t0 = time.perf_counter()
+        sketches: dict = {}  # window_start -> [sketch, n_rows, n_updates]
+        for pdf in batches:
+            for w, sub in pdf.groupby("window_start", sort=False):
+                ent = sketches.get(w)
+                if ent is None:
+                    ent = sketches[w] = [Sketch.from_bytes(template_bytes), 0, 0]
+                ids = sub[id_col].to_numpy()
+                wts = sub[weight_col].to_numpy() if weight_col else None
+                ent[0].update_batch(ids, wts)
+                ent[1] += len(sub)
+                ent[2] += len(ids) if wts is None else int(abs(wts).sum())
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else -1
+        wall = (time.perf_counter() - t0) * 1000.0
+        rows = []
+        for w, (sk, n_rows, n_upd) in sketches.items():
+            state = sk.to_bytes()
+            rows.append(
+                {
+                    "part_id": pid,
+                    "state": state,
+                    "n_rows": n_rows,
+                    "n_updates": n_upd,
+                    "wall_ms": wall / max(1, len(sketches)),
+                    "state_bytes": len(state),
+                    "files": "",
+                    "window_start": w,
+                }
+            )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def windowed_partial_states(
+    df: DataFrame,
+    template: Sketch,
+    id_col: str = "id",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """One serialized sketch-state row per (window_start, input
+    partition), in a SINGLE map-side pass: the kernel folds each Arrow
+    batch into a per-window sketch dict (windows per partition are
+    bounded — hours/days — so state stays small). No shuffle, no
+    per-window rescan of the input."""
+    cols = ["window_start", id_col] + ([weight_col] if weight_col else [])
+    return df.select(*cols).mapInPandas(
+        _windowed_partial_fn(template.to_bytes(), id_col, weight_col),
+        WINDOWED_PARTIAL_SCHEMA,
     )
 
 

@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.base import Sketch
-from ..spark.aggregate import PARTIAL_SCHEMA, partial_states, tree_merge
+from ..spark.aggregate import (
+    PARTIAL_SCHEMA,
+    partial_states,
+    tree_merge,
+    windowed_partial_states,
+)
 
 
 def sketch_sink(
@@ -75,25 +80,26 @@ def windowed_sketch_sink(
     weight_col: str | None = None,
     trigger_available_now: bool = True,
 ):
-    """Tumbling event-time windows: one sketch state per window per
-    micro-batch; late rows simply add states to their window (merge-
-    anytime, no watermark finalization needed)."""
+    """Tumbling event-time windows: one sketch state per (window, input
+    partition) per micro-batch, produced in a SINGLE map-side pass
+    (windowed_partial_states — no per-window driver loop rescanning the
+    batch); late rows simply add states to their window (merge-anytime,
+    no watermark finalization needed). States are written with dynamic
+    batch_id-partition overwrite so a foreachBatch replay after failure
+    is idempotent (same exactly-once contract as sketch_sink)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         wb = batch_df.withColumn(
             "window_start", F.window(F.col(ts_col), window)["start"]
         )
-        # build one partial per (window, input partition) via repartition
-        windows = [r["window_start"] for r in wb.select("window_start").distinct().collect()]
-        for w in windows:
-            sub = wb.where(F.col("window_start") == F.lit(w))
-            partials = partial_states(sub, template, id_col, weight_col, with_lineage=False)
-            (
-                partials.withColumn("batch_id", F.lit(batch_id))
-                .withColumn("window_start", F.lit(w))
-                .write.mode("append")
-                .parquet(state_dir)
-            )
+        partials = windowed_partial_states(wb, template, id_col, weight_col)
+        (
+            partials.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")  # idempotent per batch on replay
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(state_dir)
+        )
 
     writer = stream_df.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

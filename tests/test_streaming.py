@@ -75,3 +75,23 @@ def test_windowed_stream(spark, stream_src, tmp_path):
         sk = merged_sketch(spark, str(tmp_path / "wstate"), window_start=w)
         assert sk.norm == 20000
         assert int(sk.point(np.array([7]))[0]) == 40  # 20000/500 per window
+
+
+def test_windowed_stream_replay_idempotent(spark, stream_src, tmp_path):
+    """Replaying micro-batches (fresh checkpoint, same state dir, same
+    batch ids) must dynamically OVERWRITE each batch_id partition, not
+    append double-counted states."""
+    for ck in ("wck_a", "wck_b"):  # second run replays batch ids 0..N
+        src = spark.readStream.schema("id long, ts timestamp").parquet(
+            str(stream_src) + "/*"
+        )
+        q = windowed_sketch_sink(
+            src, _tmpl(), state_dir=str(tmp_path / "wstate2"),
+            checkpoint_dir=str(tmp_path / ck), ts_col="ts", window="1 hour",
+            id_col="id",
+        )
+        q.awaitTermination(180)
+    states = spark.read.parquet(str(tmp_path / "wstate2"))
+    for w in [r["window_start"] for r in states.select("window_start").distinct().collect()]:
+        sk = merged_sketch(spark, str(tmp_path / "wstate2"), window_start=w)
+        assert sk.norm == 20000  # NOT 40000: replay overwrote, not appended
