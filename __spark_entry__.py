@@ -138,6 +138,18 @@ def _q_ann_lsh_topk(spark, sf):
     return lsh_topk(emb, np.array(qv), k=10)
 
 
+def _q_ann_ivf_topk(spark, sf):
+    """IVF ANN (coarse k-means cells + probed-cell exact rescoring) —
+    the write-once-partitioning scale path; recall grows with n_probe."""
+    import numpy as np
+
+    from heavy_hitters_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = [r["embedding"] for r in emb.where(F.col("vec_id") < 3).orderBy("vec_id").collect()]
+    return ivf_topk(emb, np.array(qv), k=10, n_cells=32, n_probe=8)
+
+
 def _q_cosine_near_dups(spark, sf):
     """Planted-pair variant (oracle-gated): augment the embeddings with
     scaled copies (vec_id + 10^7, embedding * 2 — same direction, so
@@ -358,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2_norm_cs": _q_l2_norm,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "cosine_near_dups": _q_cosine_near_dups,
         "doc_fingerprints": _q_doc_fingerprints,
         "media_features": _q_media_features,

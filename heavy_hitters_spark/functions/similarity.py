@@ -127,21 +127,30 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: multi-table hyperplane LSH candidate union,
-    exact cosine rescoring of candidates only (scale path)."""
+    exact cosine rescoring of candidates only (scale path). All tables'
+    bucket ids come from ONE signature kernel pass; the query-side
+    signatures broadcast-join on (table, sig)."""
     q = _normalize(np.asarray(queries, dtype=np.float64))
     dim = q.shape[1]
-    cand = None
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    qrows = []
     for t in range(n_tables):
-        seed = 0xA11 + 131 * t
-        planes = _random_planes(n_planes, dim, seed)
-        qsig = ((q @ planes.T) > 0) @ (1 << np.arange(n_planes, dtype=np.int64))
-        sigs = emb.select(id_col, vec_col, hyperplane_sig_col(vec_col, n_planes, dim, seed).alias("sig"))
-        qdf = sigs.sparkSession.createDataFrame(
-            [(int(i), int(s)) for i, s in enumerate(qsig)], "query_id long, sig long"
-        )
-        c = sigs.join(F.broadcast(qdf), "sig").select("query_id", id_col, vec_col)
-        cand = c if cand is None else cand.union(c)
-    cand = cand.dropDuplicates(["query_id", id_col])
+        planes = _random_planes(n_planes, dim, 0xA11 + 131 * t)
+        qsig = ((q @ planes.T) > 0) @ weights
+        qrows.extend((t, int(s), int(i)) for i, s in enumerate(qsig))
+    qdf = emb.sparkSession.createDataFrame(qrows, "tbl int, sig long, query_id long")
+    sigs = emb.select(
+        id_col,
+        vec_col,
+        F.posexplode(
+            multitable_sig_col(vec_col, n_planes, dim, n_tables, seed_base=0xA11, seed_step=131)
+        ).alias("tbl", "sig"),
+    )
+    cand = (
+        sigs.join(F.broadcast(qdf), ["tbl", "sig"])
+        .select("query_id", id_col, vec_col)
+        .dropDuplicates(["query_id", id_col])
+    )
 
     schema = StructType(
         [
@@ -174,6 +183,33 @@ def lsh_topk(
     )
 
 
+def multitable_sig_col(
+    vec_col, n_planes: int, dim: int, n_tables: int, seed_base: int = 0xD0D0, seed_step: int = 977
+):
+    """array<long> of hyperplane sign-bucket ids, one per LSH table —
+    ALL tables in one Arrow kernel pass (one matmul against the stacked
+    plane matrix), instead of n_tables separate UDF scans."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.concatenate(
+        [_random_planes(n_planes, dim, seed_base + seed_step * t) for t in range(n_tables)]
+    )  # (n_tables*n_planes) x dim
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(s: pd.Series) -> pd.Series:
+        from ..core import memtune  # noqa: F401
+
+        if not len(s):
+            return pd.Series([], dtype=object)
+        mat = np.stack(s.to_numpy()).astype(np.float64)
+        bits = (mat @ planes.T) > 0  # n x (tables*planes)
+        sigs = bits.reshape(len(mat), n_tables, n_planes) @ weights  # n x tables
+        return pd.Series([row.tolist() for row in sigs])
+
+    return _sig(vec_col if not isinstance(vec_col, str) else F.col(vec_col))
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -183,19 +219,23 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via hyperplane LSH buckets +
-    exact cosine verification (emitted pairs carry exact scores)."""
-    first = True
-    cand = None
-    for t in range(n_tables):
-        seed = 0xD0D0 + 977 * t
-        sigs = emb.select(id_col, hyperplane_sig_col(vec_col, n_planes, _dim_of(emb, vec_col), seed).alias("sig"))
-        a, b = sigs.alias("a"), sigs.alias("b")
-        c = a.join(
-            b, (F.col("a.sig") == F.col("b.sig")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        cand = c if first else cand.union(c)
-        first = False
-    cand = cand.distinct()
+    exact cosine verification (emitted pairs carry exact scores).
+
+    One signature kernel pass computes every table's bucket id; pairs
+    come from bucket pair-generation (groupBy (table, sig)), so the
+    embeddings are scanned once, not 2*n_tables times."""
+    from .dedup import _bucket_pairs
+
+    dim = _dim_of(emb, vec_col)
+    sigs = emb.select(
+        F.col(id_col),
+        F.posexplode(multitable_sig_col(vec_col, n_planes, dim, n_tables)).alias("tbl", "sig"),
+    )
+    cand = (
+        _bucket_pairs(sigs, ["tbl", "sig"], id_col)
+        .withColumnRenamed("doc_a", "id_a")
+        .withColumnRenamed("doc_b", "id_b")
+    )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     joined = cand.join(va, "id_a").join(vb, "id_b")
@@ -216,3 +256,117 @@ def cosine_near_dup_pairs(
 def _dim_of(emb: DataFrame, vec_col: str) -> int:
     row = emb.select(F.size(vec_col).alias("d")).first()
     return int(row["d"]) if row else 0
+
+
+# ----------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + probed-cell search
+# ----------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 64,
+    sample_fraction: float = 1.0,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0x1BF,
+) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample — the
+    standard IVF coarse quantizer. At 100 TB train on a bounded sample
+    (e.g. 100k vectors via .sample(fraction)); assignment stays fully
+    distributed. Returns (n_cells x dim) L2-normalized centroids."""
+    s = emb.select(vec_col)
+    if sample_fraction < 1.0:
+        s = s.sample(fraction=sample_fraction, seed=seed)
+    mat = _normalize(np.stack([r[vec_col] for r in s.collect()]).astype(np.float64))
+    # deterministic init: splitmix-shuffled sample rows
+    order = np.argsort(splitmix64(np.arange(len(mat), dtype=np.uint64), seed))
+    cent = mat[order[: min(n_cells, len(mat))]].copy()
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_assign_col(vec_col, centroids: np.ndarray):
+    """int: nearest-centroid cell id (one Arrow-batched matmul)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf(LongType())
+    def _cell(s: pd.Series) -> pd.Series:
+        from ..core import memtune  # noqa: F401
+
+        if not len(s):
+            return pd.Series([], dtype="int64")
+        mat = _normalize(np.stack(s.to_numpy()).astype(np.float64))
+        return pd.Series((mat @ cent.T).argmax(axis=1).astype(np.int64))
+
+    return _cell(vec_col if not isinstance(vec_col, str) else F.col(vec_col))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: np.ndarray,
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: assign vectors to their nearest coarse centroid
+    (one distributed pass; at scale this is a write-once partitioning of
+    the corpus), probe the n_probe closest cells per query, exact-rescore
+    only vectors in probed cells. Deterministic given the trained
+    centroids; recall grows with n_probe (n_probe == n_cells is exact).
+
+    100 TB shape: the cell assignment is bucket-pruned scanning — each
+    query touches ~n_probe/n_cells of the corpus; the probed-cell filter
+    is a broadcast semi-join on a small (query_id, cell) table."""
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(q @ centroids.T), axis=1)[:, : min(n_probe, len(centroids))]
+    qcells = emb.sparkSession.createDataFrame(
+        [(int(qi), int(c)) for qi in range(len(q)) for c in probes[qi]],
+        "query_id long, cell long",
+    )
+    cells = emb.select(id_col, vec_col, ivf_assign_col(vec_col, centroids).alias("cell"))
+    cand = cells.join(F.broadcast(qcells), "cell").select("query_id", id_col, vec_col)
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def rescore(batches):
+        from ..core import memtune  # noqa: F401
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            qi = pdf["query_id"].to_numpy()
+            sc = np.einsum("ij,ij->i", q[qi], mat)
+            yield pd.DataFrame({"query_id": qi, id_col: pdf[id_col].to_numpy(), "score": sc})
+
+    scored = cand.mapInPandas(rescore, schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("score", 6).alias("score"), "rank")
+        .orderBy("query_id", "rank")
+    )

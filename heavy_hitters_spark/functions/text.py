@@ -64,8 +64,11 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax over per-language marker-token hit
-    counts, 'und' (undetermined) when no marker hits at all."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    counts, 'und' (undetermined) when no marker hits at all. The token
+    split is materialized once in a separate projection so the four
+    per-language filters share it instead of re-splitting."""
+    df = df.withColumn("__toks", F.split(F.lower(F.col(text_col)), " "))
+    toks = F.col("__toks")
     scores = {lg: _marker_hits(toks, ms) for lg, ms in LANG_MARKERS.items()}
     best = None
     # deterministic tie-break: language list order

@@ -295,3 +295,31 @@ def test_stop_shingle_cap_bounds_hot_buckets(spark):
     # uncapped still exact: the hot shingle alone gives jaccard 1/7 < 0.9
     exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(df, threshold=0.9, n=3).collect()}
     assert exact == {(0, 500)}
+
+
+def test_ivf_topk_self_recall_and_vs_exact(spark, emb):
+    """IVF: a query that IS a corpus vector always lands in its own
+    probed cell (same argmax) => rank-1 self-hit is deterministic; and
+    with n_probe == n_cells the result equals brute force exactly."""
+    from heavy_hitters_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rows = emb.orderBy("vec_id").limit(3).collect()
+    q = np.array([r["embedding"] for r in rows])
+    cents = train_ivf_centroids(emb, n_cells=16)
+    got = ivf_topk(emb, q, k=5, n_probe=4, centroids=cents).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qi, r0 in enumerate(rows):
+        top = sorted(by_q[qi], key=lambda r: r["rank"])[0]
+        assert top["vec_id"] == r0["vec_id"] and top["score"] == 1.0
+    # full probing == exact
+    exact = brute_force_topk(emb, q, k=5).collect()
+    full = ivf_topk(emb, q, k=5, n_probe=16, centroids=cents).collect()
+    assert [(r["query_id"], r["vec_id"]) for r in full] == [
+        (r["query_id"], r["vec_id"]) for r in exact
+    ]
