@@ -194,6 +194,68 @@ def _q_point_freq(spark, sf):
     return point_freq_tokens(spark, sf)
 
 
+def _q_point_freq_cs(spark, sf):
+    """Count-median (Count-Sketch) point estimates for probe tokens
+    (count_median.c:107-124). Deterministically exact on this data at
+    width 2^16 (median row collision-free at both sf0.01 and sf0.1,
+    verified), so the oracle is the exact count — the unbiasedness and
+    eps*L2 bounds are asserted separately in tests."""
+    import numpy as np
+
+    from heavy_hitters_spark.core import CountSketch, SeedStream
+    from heavy_hitters_spark.queries import _docs
+    from heavy_hitters_spark.spark import key_id
+    from heavy_hitters_spark.spark.fused import build_token_sketch
+
+    probes = ["the", "a", "value", "table", "spark"]
+    cs_t = CountSketch(width=1 << 16, depth=7, hash_family="ms", seed_stream=SeedStream(1234, 5678))
+    cs, _ = build_token_sketch(_docs(spark, sf), cs_t)
+    est = cs.point(np.array([key_id(t) for t in probes], dtype=np.uint64))
+    return spark.createDataFrame(
+        [(t, int(e)) for t, e in zip(probes, est)], "token string, est_freq long"
+    ).orderBy("token")
+
+
+def _q_above_threshold_cm(spark, sf):
+    """CM above_threshold over probe tokens (count_min.c:124-145).
+    Exact on this data at width 2^18 (min-row collision-free, same
+    certificate as point_freq_cm)."""
+    import numpy as np
+
+    from heavy_hitters_spark.core import CountMin, SeedStream
+    from heavy_hitters_spark.queries import _docs
+    from heavy_hitters_spark.spark import key_id
+    from heavy_hitters_spark.spark.fused import build_token_sketch
+
+    probes = ["the", "a", "value", "table", "spark", "zzz-not-a-token"]
+    cm_t = CountMin(width=1 << 18, depth=5, hash_family="ms", seed_stream=SeedStream(1234, 5678))
+    cm, _ = build_token_sketch(_docs(spark, sf), cm_t)
+    th = int(0.001 * cm.norm)
+    hits = cm.above_threshold(np.array([key_id(t) for t in probes], dtype=np.uint64), th)
+    return spark.createDataFrame(
+        [(t, bool(h), th) for t, h in zip(probes, hits)],
+        "token string, above boolean, threshold long",
+    ).orderBy("token")
+
+
+def _q_range_sum_cm(spark, sf):
+    """CM naive range_sum (count_min.c:147-156) over user_id in
+    [10, 59] — exact here for the point_freq_cm reason; the scalable
+    form is range_count_dyadic."""
+    from heavy_hitters_spark.core import CountMin, SeedStream
+    from heavy_hitters_spark.spark import build_sketch
+    from heavy_hitters_spark.spark.keys import MASK32
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "id", F.col("user_id").bitwiseAND(F.lit(MASK32))
+    )
+    cm_t = CountMin(width=1 << 18, depth=5, hash_family="ms", seed_stream=SeedStream(1234, 5678))
+    cm, _ = build_sketch(ev, cm_t, id_col="id")
+    return spark.createDataFrame(
+        [(10, 59, int(cm.range_sum(10, 59)))], "lo long, hi long, range_sum long"
+    )
+
+
 def _q_distinct_hll(spark, sf):
     from heavy_hitters_spark.queries import distinct_tokens_hll
 
@@ -256,6 +318,20 @@ def _q_l2_norm(spark, sf):
     return l2_norm_tokens(spark, sf)
 
 
+def _q_l2_norm_exact(spark, sf):
+    """Exact L2 of the token-frequency vector (pure Catalyst companion
+    to the AMS estimate; the estimate's accuracy vs this value is
+    bounds-checked in tests)."""
+    from heavy_hitters_spark.spark import tokens
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    freqs = tokens(docs).groupBy("token").agg(F.count("*").alias("f"))
+    return freqs.agg(
+        F.round(F.sqrt(F.sum(F.col("f") * F.col("f"))), 6).alias("l2"),
+        F.sum("f").alias("l1"),
+    )
+
+
 def _q_phi_heavy_users_const(spark, sf):
     """Same phi-HH question answered by the hh_const_sketch variant
     (cheap per-level rows + verification sketch) + exact verify —
@@ -283,6 +359,24 @@ def _q_phi_heavy_users_const(spark, sf):
         .where(F.col("freq") >= phi * merged.norm)
         .orderBy(F.asc("user_id"))
     )
+
+
+def _q_eval_hh_precision(spark, sf):
+    """The reference's precision_hh harness run over the hybrid
+    phi-heavy-hitter output. The hybrid provably has recall 1.0 /
+    precision 1.0 / 0 errors (sketch candidates with certified recall +
+    exact verification), so the harness row is deterministic and the
+    oracle only needs the exact phi-heavy count."""
+    from heavy_hitters_spark.eval import hh_precision_recall
+    from heavy_hitters_spark.queries import phi_heavy_users
+    from heavy_hitters_spark.spark.keys import MASK32
+
+    phi = 0.005
+    reported_users = [r["user_id"] for r in phi_heavy_users(spark, sf, phi=phi).collect()]
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "id", F.col("user_id").bitwiseAND(F.lit(MASK32))
+    )
+    return hh_precision_recall(spark, ev, reported_users, phi=phi, epsilon=0.0)
 
 
 def _q_bloom_membership(spark, sf):
@@ -359,15 +453,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # widths and fixed seeds the estimates are deterministically
         # exact on this data (verified; CM min-row collision-free)
         "point_freq_cm": _q_point_freq,
+        "point_freq_cs": _q_point_freq_cs,
+        "above_threshold_cm": _q_above_threshold_cm,
+        "range_sum_cm": _q_range_sum_cm,
         "distinct_tokens_hll": _q_distinct_hll,
         "distinct_tokens_hll_rounded": _q_distinct_hll_rounded,
         "bloom_membership": _q_bloom_membership,
+        "eval_hh_precision": _q_eval_hh_precision,
         "quantiles_kll": _q_quantiles_kll,
         "quantiles_tdigest": _q_quantiles_tdigest,
         "quantiles_kll_exact": _q_quantiles_kll_exact,
         "quantiles_tdigest_exact": _q_quantiles_tdigest_exact,
         "range_count_dyadic": _q_range_count_dyadic,
         "l2_norm_cs": _q_l2_norm,
+        "l2_norm_exact": _q_l2_norm_exact,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -518,6 +617,28 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES ('the'), ('a'), ('value'), ('table'), ('spark')) p(token)
             LEFT JOIN f USING (token) ORDER BY p.token
         """,
+        "point_freq_cs": f"""
+            WITH f AS (SELECT token, count(*) AS c FROM ({_TOKENS}) t
+                       WHERE token <> '' GROUP BY token)
+            SELECT p.token, coalesce(f.c, 0) AS est_freq
+            FROM (VALUES ('the'), ('a'), ('value'), ('table'), ('spark')) p(token)
+            LEFT JOIN f USING (token) ORDER BY p.token
+        """,
+        "above_threshold_cm": f"""
+            WITH tok AS (SELECT token FROM ({_TOKENS}) t WHERE token <> ''),
+            tot AS (SELECT CAST(trunc(0.001 * count(*)) AS BIGINT) AS th FROM tok),
+            f AS (SELECT token, count(*) AS c FROM tok GROUP BY token)
+            SELECT p.token, coalesce(f.c, 0) >= tot.th AS above, tot.th AS threshold
+            FROM (VALUES ('the'), ('a'), ('value'), ('table'), ('spark'),
+                         ('zzz-not-a-token')) p(token)
+            CROSS JOIN tot
+            LEFT JOIN f ON f.token = p.token
+            ORDER BY p.token
+        """,
+        "range_sum_cm": """
+            SELECT 10 AS lo, 59 AS hi, count(*) AS range_sum
+            FROM events WHERE user_id BETWEEN 10 AND 59
+        """,
         "range_count_dyadic": """
             SELECT 10 AS lo, 59 AS hi, count(*) AS range_est
             FROM events WHERE user_id BETWEEN 10 AND 59
@@ -539,11 +660,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, count(*) AS freq FROM u
             GROUP BY url ORDER BY freq DESC, url ASC LIMIT 20
         """,
+        "l2_norm_exact": f"""
+            WITH f AS (SELECT token, count(*) AS f FROM ({_TOKENS}) t
+                       WHERE token <> '' GROUP BY token)
+            SELECT round(sqrt(sum(f * f)), 6) AS l2, sum(f) AS l1 FROM f
+        """,
         "topk_hosts": """
             WITH h AS (SELECT source || '.' || lang || '.example.com' AS host
                        FROM documents)
             SELECT host, count(*) AS freq FROM h
             GROUP BY host ORDER BY freq DESC, host ASC LIMIT 10
+        """,
+        "eval_hh_precision": """
+            WITH tot AS (SELECT count(*) AS n FROM events),
+            h AS (SELECT user_id FROM events, tot
+                  GROUP BY user_id, tot.n HAVING count(*) >= 0.005 * tot.n)
+            SELECT CAST(1.0 AS DOUBLE) AS recall, CAST(1.0 AS DOUBLE) AS precision,
+                   CAST(0 AS BIGINT) AS errors,
+                   count(*) AS n_exact, count(*) AS n_reported FROM h
         """,
         "quantiles_kll_exact": _QUANTILES_SQL,
         "quantiles_tdigest_exact": _QUANTILES_SQL,

@@ -83,3 +83,41 @@ def test_tokenize_path_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # column pruning: only text is read
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_fused_build_scan_prunes_to_text(spark):
+    """The fused mapInArrow build must read ONLY the text column."""
+    from heavy_hitters_spark.core import MisraGries
+    from heavy_hitters_spark.spark.aggregate import PARTIAL_SCHEMA
+    from heavy_hitters_spark.spark.fused import _fused_fn
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    partials = docs.select("text").mapInArrow(
+        _fused_fn(MisraGries(k=64).to_bytes(), "text"), PARTIAL_SCHEMA
+    )
+    plan = _plan(partials)
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_shingle_hashing_is_jvm_side(spark):
+    """shingle/token hashing must stay in Catalyst codegen — the Arrow
+    kernel only sees hashed arrays (no Python string work)."""
+    from heavy_hitters_spark.functions.dedup import shingle_hashes_col, token_hashes_col
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p1 = _plan(docs.select(shingle_hashes_col("text").alias("h")))
+    p2 = _plan(docs.select(token_hashes_col("text").alias("h")))
+    for plan in (p1, p2):
+        assert "xxhash64" in plan.lower()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_verify_has_no_shingle_self_join(spark):
+    """near_dup_pairs_minhash verification joins per-doc shingle ARRAYS
+    on doc ids (narrow) — the plan must not contain a join keyed on the
+    shingle value (corpus-wide self-join was the old scale hazard)."""
+    from heavy_hitters_spark.functions.dedup import near_dup_pairs_minhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(near_dup_pairs_minhash(docs, threshold=0.5))
+    assert "SortMergeJoin [shingle" not in plan and "ShuffledHashJoin [shingle" not in plan
