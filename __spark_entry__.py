@@ -109,6 +109,53 @@ def _q_near_dup_minhash(spark, sf):
     return near_dup_pairs_minhash(docs, threshold=0.5, n_hashes=128, bands=32, shingle_n=3)
 
 
+def _q_dedup_near_groups(spark, sf):
+    """Near-dup connected components -> canonical doc per group (the
+    pipeline keep/drop list). Deterministic: pairs are exact-Jaccard
+    verified; components via min-label propagation."""
+    from heavy_hitters_spark.functions.dedup import near_dup_groups
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return near_dup_groups(docs, threshold=0.5, n_hashes=128, bands=32, shingle_n=3)
+
+
+def _q_topk_users_weighted(spark, sf):
+    """Weighted (turnstile) hybrid top-k: MG over integer-scaled event
+    values as update weights + exact weighted rescoring. Exercises the
+    reference's weighted-update path (test_hh fixtures' A[i][2] shape)
+    through the driver gate."""
+    from heavy_hitters_spark.core import MisraGries
+    from heavy_hitters_spark.spark import build_sketch
+    from heavy_hitters_spark.spark.keys import MASK32
+
+    k = 10
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("user_id"),
+        F.col("user_id").bitwiseAND(F.lit(MASK32)).alias("id"),
+        (F.col("value") * 100).cast("long").alias("w"),
+    )
+    mg, _ = build_sketch(ev, MisraGries(k=4096), id_col="id", weight_col="w")
+    cand = [int(i) for i, _ in mg.candidates()]
+    cand_df = spark.createDataFrame([(c,) for c in cand], "id long")
+    exact = (
+        ev.join(F.broadcast(cand_df), "id")
+        .groupBy("user_id")
+        .agg(F.sum("w").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("user_id"))
+        .limit(k)
+    )
+    rows = exact.collect()
+    kth = rows[-1]["weight"] if len(rows) >= k else 0
+    if kth <= mg.decrement:  # same decrement-witness certificate as topk_tokens
+        exact = (
+            ev.groupBy("user_id")
+            .agg(F.sum("w").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("user_id"))
+            .limit(k)
+        )
+    return exact
+
+
 def _q_simhash_pairs(spark, sf):
     # 8 x 8-bit chunk bucketing: recall GUARANTEED for hamming <= 7
     # (pigeonhole); radius 7 keeps candidate volume ~n^2/256 per chunk
@@ -443,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "dedup_exact": _q_dedup_exact,
+        "dedup_near_groups": _q_dedup_near_groups,
+        "topk_users_weighted": _q_topk_users_weighted,
         "jaccard_pairs": _q_jaccard_pairs,
         "near_dup_minhash": _q_near_dup_minhash,
         "ann_topk": _q_ann_topk,
@@ -589,6 +638,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = doc_a
             JOIN sz sb ON sb.doc_id = doc_b
             WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+        """,
+        "dedup_near_groups": """
+            WITH RECURSIVE
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(t[i.i : i.i + 2], ' ') AS shingle
+                   FROM toks, (SELECT unnest(range(1, 2000)) AS i) i
+                   WHERE i.i <= len(t) - 2),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                      FROM sh a JOIN sh b
+                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT doc_a, doc_b FROM inter
+                      JOIN sz sa ON sa.doc_id = doc_a
+                      JOIN sz sb ON sb.doc_id = doc_b
+                      WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (SELECT u, v FROM edges
+                      UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            mins AS (SELECT u, least(u, min(v)) AS canonical FROM reach GROUP BY u)
+            SELECT d.doc_id, coalesce(m.canonical, d.doc_id) AS canonical
+            FROM documents d LEFT JOIN mins m ON m.u = d.doc_id
+        """,
+        "topk_users_weighted": """
+            SELECT user_id, sum(CAST(trunc(value * 100) AS BIGINT)) AS weight
+            FROM events GROUP BY user_id
+            ORDER BY weight DESC, user_id ASC LIMIT 10
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -425,3 +425,72 @@ def near_dup_pairs_simhash(
         .mapInPandas(part_fn, "doc_a long, doc_b long, hamming long")
         .distinct()
     )
+
+
+# ----------------------------------------------------------------------
+# near-dup grouping (connected components) -> canonical doc per group
+# ----------------------------------------------------------------------
+
+
+def near_dup_groups(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(doc_id, canonical) — connected components over the verified
+    near-dup pair graph, canonical = min doc_id in the component. This
+    is the keep/drop list a dedup pipeline actually consumes: keep rows
+    where doc_id == canonical.
+
+    Distributed min-label propagation: each round joins labels to the
+    (tiny, pairs-only) edge list and takes the min over neighbors —
+    converges in <= component-diameter rounds (near-dup clusters are
+    shallow; max_iters bounds pathological chains). Docs not in any
+    pair are their own canonical and never enter the loop."""
+    pairs = near_dup_pairs_minhash(
+        df, threshold, n_hashes, bands, shingle_n, text_col, id_col
+    ).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    # iterate only over docs that appear in some pair
+    labels = (
+        edges.select(F.col("doc_a").alias(id_col)).distinct()
+        .withColumn("canonical", F.col(id_col))
+    )
+    labels = labels.cache()
+    labels.count()
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels.withColumnRenamed(id_col, "doc_b"), "doc_b")
+            .groupBy(F.col("doc_a").alias(id_col))
+            .agg(F.min("canonical").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neigh, id_col, "left")
+            .select(
+                id_col,
+                F.least(F.col("canonical"), F.coalesce("n_min", F.col("canonical"))).alias("canonical"),
+            )
+        ).cache()
+        changed = (
+            new_labels.withColumnRenamed("canonical", "c2")
+            .join(labels, id_col)
+            .where(F.col("c2") != F.col("canonical"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    singletons = (
+        df.select(F.col(id_col))
+        .join(labels.select(id_col), id_col, "left_anti")
+        .withColumn("canonical", F.col(id_col))
+    )
+    return labels.unionByName(singletons)

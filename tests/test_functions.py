@@ -323,3 +323,22 @@ def test_ivf_topk_self_recall_and_vs_exact(spark, emb):
     assert [(r["query_id"], r["vec_id"]) for r in full] == [
         (r["query_id"], r["vec_id"]) for r in exact
     ]
+
+
+def test_near_dup_groups_transitive(spark):
+    """A chain a~b~c (a never directly paired with c) must collapse to
+    ONE component with canonical = min id; unrelated docs stay their
+    own canonical."""
+    from heavy_hitters_spark.functions.dedup import near_dup_groups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    a = " ".join(base)
+    b = " ".join(base[:-1] + ["CHANGED1"])          # ~ a
+    c = " ".join(base[:-2] + ["CHANGED2", "CHANGED1"])  # ~ b, farther from a
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, "totally different other content entirely here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["canonical"] for r in near_dup_groups(df, threshold=0.5, shingle_n=3).collect()}
+    assert got[1] == 1 and got[2] == 1 and got[3] == 1  # one component
+    assert got[9] == 9
