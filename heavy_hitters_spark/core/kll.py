@@ -8,6 +8,13 @@ PRNG (splitmix64), so a fixed op order reproduces exactly; merge is
 bound-preserving under any merge tree but not byte-identical
 (SURVEY.md §7 hard parts — tests assert rank-error bounds, not bytes).
 
+State is numpy float64 arrays end to end. Large batches are folded with
+ONE sort + cascaded halvings (each halving of a sorted array is a
+standard compaction applied to the batch subset, weight-preserving and
+bound-preserving) — the previous python-list compactors allocated one
+PyFloat per update (~3M objects per build partition), which both
+dominated the kernel wall and drove allocator churn.
+
 Rank error: |est_rank - true_rank| <= eps*n with eps ~ O(1/k)
 (empirically ~1.5/k at k=200 for the constants used here).
 """
@@ -22,6 +29,7 @@ from .base import Sketch, register
 from .hashing import splitmix64
 
 _C = 2.0 / 3.0
+_EMPTY = np.empty(0, dtype=np.float64)
 
 
 @register
@@ -31,7 +39,7 @@ class KLL(Sketch):
     def __init__(self, k: int = 200, seed: int = 0x5EED) -> None:
         self.k = int(k)
         self.seed = int(seed)
-        self.compactors: list[list[float]] = [[]]
+        self.compactors: list[np.ndarray] = [_EMPTY]
         self.n = 0
         self._coins = 0  # deterministic coin counter
 
@@ -48,6 +56,10 @@ class KLL(Sketch):
     def _size(self) -> int:
         return sum(len(c) for c in self.compactors)
 
+    def _grow_to(self, h: int) -> None:
+        while len(self.compactors) <= h:
+            self.compactors.append(_EMPTY)
+
     def _compress(self) -> None:
         while self._size() > sum(self._capacity(h) for h in range(len(self.compactors))):
             for h in range(len(self.compactors)):
@@ -58,29 +70,43 @@ class KLL(Sketch):
                 break
 
     def _compact(self, h: int) -> None:
-        if h + 1 >= len(self.compactors):
-            self.compactors.append([])
-        items = np.sort(np.asarray(self.compactors[h], dtype=np.float64))
-        keep: list[float] = []
+        self._grow_to(h + 1)
+        items = np.sort(self.compactors[h])
         if len(items) % 2 == 1:  # odd tail stays at this level
-            keep = [float(items[-1])]
+            keep = items[-1:]
             items = items[:-1]
+        else:
+            keep = _EMPTY
         promoted = items[self._coin() :: 2]
         self.compactors[h] = keep
-        self.compactors[h + 1].extend(promoted.tolist())
+        self.compactors[h + 1] = np.concatenate([self.compactors[h + 1], promoted])
 
     # ------------------------------------------------------------------
     def update_batch(self, items, counts=None) -> None:  # noqa: ARG002 (unweighted)
         vals = np.asarray(items, dtype=np.float64)
         self.n += len(vals)
-        self.compactors[0].extend(vals.tolist())
+        # fold the batch with ONE sort + cascaded halvings: each halving
+        # of the (sorted) batch is a compaction applied to the batch
+        # subset alone — items promoted to level h+1 carry weight 2^(h+1)
+        # exactly as if level h had compacted them
+        arr = np.sort(vals)
+        h = 0
+        while len(arr) > max(2 * self.k, 4):
+            self._grow_to(h)
+            if len(arr) % 2 == 1:  # odd tail stays at this level
+                self.compactors[h] = np.concatenate([self.compactors[h], arr[-1:]])
+                arr = arr[:-1]
+            arr = arr[self._coin() :: 2]
+            h += 1
+        self._grow_to(h)
+        self.compactors[h] = np.concatenate([self.compactors[h], arr])
         self._compress()
 
     def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
         vs, ws = [], []
         for h, c in enumerate(self.compactors):
-            if c:
-                vs.append(np.asarray(c, dtype=np.float64))
+            if len(c):
+                vs.append(c)
                 ws.append(np.full(len(c), 1 << h, dtype=np.int64))
         if not vs:
             return np.empty(0), np.empty(0, dtype=np.int64)
@@ -112,10 +138,10 @@ class KLL(Sketch):
 
     def merge(self, other: "KLL") -> "KLL":
         assert self.k == other.k
-        while len(self.compactors) < len(other.compactors):
-            self.compactors.append([])
+        self._grow_to(len(other.compactors) - 1)
         for h, c in enumerate(other.compactors):
-            self.compactors[h].extend(c)
+            if len(c):
+                self.compactors[h] = np.concatenate([self.compactors[h], c])
         self.n += other.n
         self._coins = max(self._coins, other._coins) + 1
         self._compress()
@@ -132,7 +158,7 @@ class KLL(Sketch):
         }
 
     def _payload(self) -> bytes:
-        parts = [np.asarray(c, dtype="<f8").tobytes() for c in self.compactors]
+        parts = [np.ascontiguousarray(c, dtype="<f8").tobytes() for c in self.compactors]
         return b"".join(parts)
 
     @classmethod
@@ -143,7 +169,7 @@ class KLL(Sketch):
         s.compactors = []
         off = 0
         for ln in header["lens"]:
-            arr = np.frombuffer(payload[off : off + 8 * ln], dtype="<f8")
-            s.compactors.append(arr.tolist())
+            arr = np.frombuffer(payload[off : off + 8 * ln], dtype="<f8").copy()
+            s.compactors.append(arr)
             off += 8 * ln
         return s

@@ -8,10 +8,18 @@ non-positive ones (the summary-merge formulation of Agarwal et al.,
 
     true_count - N/(k+1)  <=  estimate  <=  true_count
 
+The cumulative subtraction is tracked exactly in ``decrement`` (through
+merges), so hybrid queries can gate on the true worst-case undercount.
+
 Merge = counter-wise add followed by the same (k+1)-th-largest
 subtraction — bound-preserving under any merge tree (representation is
 merge-order-sensitive; tests assert bounds, not byte equality —
 SURVEY.md §7 hard parts).
+
+State is a pair of parallel numpy arrays sorted by item id (sorted-
+merge updates, searchsorted point queries) — a python dict of counters
+costs one dict op per unique key per batch, which dominated the fused
+build kernel.
 """
 
 from __future__ import annotations
@@ -21,75 +29,90 @@ import numpy as np
 from .base import Sketch, as_i64, as_u64, register
 
 
-def _shrink(counters: dict[int, int], k: int) -> tuple[dict[int, int], int]:
-    """Keep <= k counters; returns (counters, total_decrement_applied)."""
-    if len(counters) <= k:
-        return counters, 0
-    vals = np.fromiter(counters.values(), dtype=np.int64, count=len(counters))
-    # (k+1)-th largest == len-k-th smallest... partition for the cut value
-    cut = int(np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1])
-    out = {i: c - cut for i, c in counters.items() if c > cut}
-    return out, cut
-
-
 @register
 class MisraGries(Sketch):
     TYPE = "misra_gries"
 
     def __init__(self, k: int = 1024) -> None:
         self.k = int(k)
-        self.counters: dict[int, int] = {}
+        self.items = np.empty(0, dtype=np.uint64)  # sorted
+        self.cnts = np.empty(0, dtype=np.int64)
         self.norm = 0  # total weight seen (L1)
         self.decrement = 0  # cumulative subtraction (error bound witness)
 
+    @property
+    def counters(self) -> dict[int, int]:
+        """Dict view of the summary (compat/introspection)."""
+        return dict(zip(self.items.tolist(), self.cnts.tolist()))
+
+    # ------------------------------------------------------------------
+    def _combine(self, ux: np.ndarray, uc: np.ndarray) -> None:
+        """Add (unique, counted) batch into the sorted state + shrink."""
+        allit = np.concatenate([self.items, ux])
+        allc = np.concatenate([self.cnts, uc])
+        si, inv = np.unique(allit, return_inverse=True)
+        sc = np.zeros(len(si), dtype=np.int64)
+        np.add.at(sc, inv, allc)
+        if len(si) > self.k:
+            # subtract the (k+1)-th largest; keep strictly-positive rest
+            cut = int(np.partition(sc, len(sc) - self.k - 1)[len(sc) - self.k - 1])
+            keep = sc > cut
+            si, sc = si[keep], sc[keep] - cut
+            self.decrement += cut
+        self.items, self.cnts = si, sc
+
     def update_batch(self, items, counts=None) -> None:
         x = as_u64(items)
+        if not len(x):
+            return
         c = as_i64(counts, len(x))
         self.norm += int(c.sum())
         ux, inv = np.unique(x, return_inverse=True)
         uc = np.zeros(len(ux), dtype=np.int64)
         np.add.at(uc, inv, c)
-        g = self.counters
-        for i, w in zip(ux.tolist(), uc.tolist()):
-            g[i] = g.get(i, 0) + w
-        self.counters, dec = _shrink(g, self.k)
-        self.decrement += dec
+        self._combine(ux, uc)
 
     def point(self, items) -> np.ndarray:
         x = as_u64(np.atleast_1d(np.asarray(items)))
-        return np.array([self.counters.get(int(i), 0) for i in x], dtype=np.int64)
+        idx = np.searchsorted(self.items, x)
+        idx_c = np.minimum(idx, max(len(self.items) - 1, 0))
+        if not len(self.items):
+            return np.zeros(len(x), dtype=np.int64)
+        hit = self.items[idx_c] == x
+        out = np.where(hit, self.cnts[idx_c], 0)
+        return out.astype(np.int64)
 
     def candidates(self) -> list[tuple[int, int]]:
         """(item, lower-bound estimate) pairs, count-desc. Any item with
         true count > N/(k+1) is guaranteed present."""
-        return sorted(self.counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        order = np.lexsort((self.items, -self.cnts))
+        return [
+            (int(self.items[i]), int(self.cnts[i])) for i in order
+        ]
 
     def merge(self, other: "MisraGries") -> "MisraGries":
         assert self.k == other.k
-        g = self.counters
-        for i, c in other.counters.items():
-            g[i] = g.get(i, 0) + c
-        self.counters, dec = _shrink(g, self.k)
+        self._combine(other.items, other.cnts)
         self.norm += other.norm
-        self.decrement += other.decrement + dec
+        self.decrement += other.decrement
         return self
 
     def _header(self):
         return {"k": self.k, "norm": self.norm, "decrement": self.decrement,
-                "n": len(self.counters)}
+                "n": len(self.items)}
 
     def _payload(self) -> bytes:
-        items = np.fromiter(self.counters.keys(), dtype="<u8", count=len(self.counters))
-        cnts = np.fromiter(self.counters.values(), dtype="<i8", count=len(self.counters))
-        return items.tobytes() + cnts.tobytes()
+        return (
+            np.ascontiguousarray(self.items, dtype="<u8").tobytes()
+            + np.ascontiguousarray(self.cnts, dtype="<i8").tobytes()
+        )
 
     @classmethod
     def _from_parts(cls, header, payload) -> "MisraGries":
         s = cls(k=header["k"])
         n = header["n"]
-        items = np.frombuffer(payload[: 8 * n], dtype="<u8")
-        cnts = np.frombuffer(payload[8 * n :], dtype="<i8")
-        s.counters = dict(zip(items.tolist(), cnts.tolist()))
+        s.items = np.frombuffer(payload[: 8 * n], dtype="<u8").copy()
+        s.cnts = np.frombuffer(payload[8 * n :], dtype="<i8").copy()
         s.norm = header["norm"]
         s.decrement = header["decrement"]
         return s

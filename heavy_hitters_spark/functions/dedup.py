@@ -457,7 +457,8 @@ def near_dup_groups(
     ).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).cache()  # the pair graph is tiny relative to the corpus; without
+    # this every propagation round re-runs the whole LSH+verify pipeline
     # iterate only over docs that appear in some pair
     labels = (
         edges.select(F.col("doc_a").alias(id_col)).distinct()
