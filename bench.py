@@ -258,8 +258,15 @@ def main() -> None:
     # the pooled best-wall variant also reported.
     rounds = []
     for i in range(3):
-        rhi = build_run_subprocess(f"local[{hi}]", with_phases=(i == 2))
-        rlo = build_run_subprocess(f"local[{lo}]", with_phases=(i == 2))
+        # alternate within-round order: host throughput drifts
+        # monotonically over a multi-minute run, so always measuring the
+        # same level first would bias the ratio; alternation cancels it
+        if i % 2 == 0:
+            rhi = build_run_subprocess(f"local[{hi}]", with_phases=(i == 2))
+            rlo = build_run_subprocess(f"local[{lo}]", with_phases=(i == 2))
+        else:
+            rlo = build_run_subprocess(f"local[{lo}]", with_phases=False)
+            rhi = build_run_subprocess(f"local[{hi}]", with_phases=False)
         rounds.append((rhi, rlo, rhi["docs_per_sec"] / (4.0 * rlo["docs_per_sec"])))
     effs = sorted(e for _, _, e in rounds)
     eff = effs[len(effs) // 2]  # median per-round efficiency
