@@ -68,13 +68,30 @@ def shingles_df(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct token n-gram shingles per doc (Catalyst-only: split +
-    transform + explode). Docs shorter than n tokens produce no
-    shingles (matching the SQL-oracle semantics)."""
+    transform + array_distinct + explode). (doc, shingle) uniqueness
+    only needs PER-DOC dedup, so array_distinct happens map-side before
+    the explode — no global distinct shuffle. Docs shorter than n tokens
+    produce no shingles (matching the SQL-oracle semantics)."""
     toks = F.split(F.col(text_col), " ")
-    return (
-        df.select(F.col(id_col), F.explode(shingle_grams(toks, n)).alias("shingle"))
-        .distinct()
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_grams(toks, n))).alias("shingle"),
     )
+
+
+def _doc_shingle_hashes(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, h) rows: xxhash64 of each DISTINCT shingle per doc, all
+    map-side (hash + array_distinct inside the row, then explode).
+    64-bit shingle identity: deterministic; collision probability
+    ~m^2/2^65 folds two shingles (use 128 bits past ~10^8 distinct
+    shingles per corpus if provable exactness is required)."""
+    toks = F.split(F.col(text_col), " ")
+    hashes = F.array_distinct(
+        F.transform(shingle_grams(toks, n), lambda g: F.xxhash64(g))
+    )
+    return df.select(F.col(id_col), F.explode(hashes).alias("h"))
 
 
 def jaccard_pairs(
@@ -99,13 +116,19 @@ def jaccard_pairs(
     With the cap on, pairs that share ONLY stop-shingles are missed and
     intersections count non-stop shingles only (sizes stay exact) — a
     documented recall/undercount trade; leave None for exact results."""
-    sh = shingles_df(df, n, text_col, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # per-doc sizes map-side (no shuffle); pair generation over 8-byte
+    # shingle hashes instead of shingle strings (narrower shuffle rows)
+    toks = F.split(F.col(text_col), " ")
+    sizes = df.select(
+        F.col(id_col),
+        F.size(F.array_distinct(shingle_grams(toks, n))).alias("sz"),
+    ).where(F.col("sz") > 0)
+    sh = _doc_shingle_hashes(df, n, text_col, id_col)
     if max_shingle_df is not None:
-        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        sh = sh.join(dfreq.where(F.col("df") <= max_shingle_df).select("shingle"), "shingle")
+        dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+        sh = sh.join(dfreq.where(F.col("df") <= max_shingle_df).select("h"), "h")
     inter = (
-        _bucket_pairs_all(sh, "shingle", id_col)
+        _bucket_pairs_all(sh, "h", id_col)
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -267,13 +290,17 @@ def near_dup_pairs_minhash(
     Deterministic output (the sketch only prunes; the filter is exact).
 
     Verification joins each candidate pair with the two docs' DISTINCT
-    shingle-string arrays and computes |A∩B| via array_intersect —
-    exact, and shuffles only candidate docs' arrays (never a shingle
-    self-join over the corpus)."""
+    shingle-hash arrays and computes |A∩B| via array_intersect — exact
+    up to 64-bit shingle-hash identity (see _doc_shingle_hashes), and
+    shuffles only candidate docs' arrays (never a shingle self-join
+    over the corpus)."""
     cand = lsh_candidates(df, n_hashes, bands, shingle_n, text_col, id_col)
     toks = F.split(F.col(text_col), " ")
     doc_sh = df.select(
-        F.col(id_col), F.array_distinct(shingle_grams(toks, shingle_n)).alias("sh_set")
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingle_grams(toks, shingle_n), lambda g: F.xxhash64(g))
+        ).alias("sh_set"),
     )
     joined = (
         cand.join(doc_sh.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sa")), "doc_a")
