@@ -40,13 +40,15 @@ def _is_pow2(w: int) -> bool:
 def ms(x: np.ndarray, w: int, M: int, a: int, b: int) -> np.ndarray:
     """(uint32)(a*x+b) >> (32-M); requires power-of-2 w (hash.c:65-82)."""
     assert _is_pow2(w), "ms requires power-of-2 width"
-    r = (_U64(a) * x.astype(_U64) + _U64(b)) & _M32
+    x = x if x.dtype == _U64 else x.astype(_U64)
+    r = (_U64(a) * x + _U64(b)) & _M32
     return (r >> _U64(32 - M)).astype(np.int64)
 
 
 def ms2(x: np.ndarray, w: int, M: int, a: int, b: int) -> np.ndarray:  # noqa: ARG001
     assert _is_pow2(w), "ms2 requires power-of-2 width"
-    r = (_U64(a) * x.astype(_U64)) & _M32
+    x = x if x.dtype == _U64 else x.astype(_U64)
+    r = (_U64(a) * x) & _M32
     return (r >> _U64(32 - M)).astype(np.int64)
 
 
@@ -74,15 +76,19 @@ def cw2p2(x: np.ndarray, w: int, M: int, a: int, b: int) -> np.ndarray:  # noqa:
 
 
 def sign_ms(x: np.ndarray, a: int, b: int) -> np.ndarray:
-    """+1 if top bit of (uint32)(a*x+b) set, else -1 (hash.h:74-85)."""
-    r = ((_U64(a) * x.astype(_U64) + _U64(b)) & _M32) >> _U64(31)
-    return np.where(r.astype(bool), np.int64(1), np.int64(-1))
+    """+1 if top bit of (uint32)(a*x+b) set, else -1 (hash.h:74-85).
+    Branch-free form 2*bit - 1 (np.where + astype(bool) measured ~3x
+    slower in the hot Count-Sketch path)."""
+    x = x if x.dtype == _U64 else x.astype(_U64)
+    r = ((_U64(a) * x + _U64(b)) & _M32) >> _U64(31)
+    return (r.astype(np.int64) << 1) - 1
 
 
 def sign_cw(x: np.ndarray, a: int, b: int) -> np.ndarray:
-    r = (_U64(a) * x.astype(_U64) + _U64(b)) & _MODP
-    bit = (r >> _U64(31)) & _U64(1)
-    return np.where(bit.astype(bool), np.int64(1), np.int64(-1))
+    x = x if x.dtype == _U64 else x.astype(_U64)
+    r = (_U64(a) * x + _U64(b)) & _MODP
+    bit = ((r >> _U64(31)) & _U64(1)).astype(np.int64)
+    return (bit << 1) - 1
 
 
 class HashFamily:
