@@ -664,7 +664,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN mins m ON m.u = d.doc_id
         """,
         "topk_users_weighted": """
-            SELECT user_id, sum(CAST(trunc(value * 100) AS BIGINT)) AS weight
+            SELECT user_id, CAST(sum(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS weight
             FROM events GROUP BY user_id
             ORDER BY weight DESC, user_id ASC LIMIT 10
         """,
@@ -741,7 +741,7 @@ def oracle_sql() -> dict[str, str]:
         "l2_norm_exact": f"""
             WITH f AS (SELECT token, count(*) AS f FROM ({_TOKENS}) t
                        WHERE token <> '' GROUP BY token)
-            SELECT round(sqrt(sum(f * f)), 6) AS l2, sum(f) AS l1 FROM f
+            SELECT round(sqrt(sum(f * f)), 6) AS l2, CAST(sum(f) AS BIGINT) AS l1 FROM f
         """,
         "topk_hosts": """
             WITH h AS (SELECT source || '.' || lang || '.example.com' AS host

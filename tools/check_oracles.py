@@ -23,10 +23,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize floats
     for c in df.columns:
         if df[c].dtype.kind == "f":
+            # floats compare with tolerance, but stay floats: the driver's
+            # value hash distinguishes int64 from float64 (r02 evidence).
             df[c] = df[c].round(6)
+        elif df[c].dtype.kind in "iu":
+            # ...while integer WIDTH differences (int32 vs int64) hash
+            # equal there (r02: several int32/int64 pairs were green).
+            df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
@@ -65,8 +70,11 @@ def main() -> None:
         ok_vals = False
         if ok_cols and ok_rows:
             try:
+                # check_dtype=True mimics the driver's strict value-hash:
+                # an int64 vs float64 materialization difference is a FAIL
+                # there even when values are numerically identical.
                 pd.testing.assert_frame_equal(
-                    a, b, check_dtype=False, check_exact=False, atol=1e-6
+                    a, b, check_dtype=True, check_exact=False, atol=1e-6
                 )
                 ok_vals = True
             except AssertionError as e:
