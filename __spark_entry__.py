@@ -120,10 +120,11 @@ def _q_dedup_near_groups(spark, sf):
 
 
 def _q_topk_users_weighted(spark, sf):
-    """Weighted (turnstile) hybrid top-k: MG over integer-scaled event
-    values as update weights + exact weighted rescoring. Exercises the
-    reference's weighted-update path (test_hh fixtures' A[i][2] shape)
-    through the driver gate."""
+    """Weighted CASH-REGISTER hybrid top-k: MG over integer-scaled
+    (non-negative) event values as update weights + exact weighted
+    rescoring. Exercises the reference's weighted-update path (test_hh
+    fixtures' A[i][2] shape) through the driver gate; the turnstile
+    (signed) path goes through CountSketch — see turnstile_net_cs."""
     from heavy_hitters_spark.core import MisraGries
     from heavy_hitters_spark.spark import build_sketch
     from heavy_hitters_spark.spark.keys import MASK32
@@ -156,6 +157,75 @@ def _q_topk_users_weighted(spark, sf):
     return exact
 
 
+def _q_turnstile_net_cs(spark, sf):
+    """TURNSTILE Count-Median point estimates end-to-end: every
+    non-error event is an insertion (+1), every error event a deletion
+    (-1), streamed through CountSketch's signed counters
+    (count_median.c:81-100 — the reference's count_median_update takes
+    a signed long). Exact on this data at width 2^16 (150 distinct
+    users; median row collision-free), so the oracle is the exact net
+    count per probe user."""
+    import numpy as np
+
+    from heavy_hitters_spark.core import CountSketch, SeedStream
+    from heavy_hitters_spark.spark import build_sketch
+    from heavy_hitters_spark.spark.keys import MASK32
+
+    probes = [10, 20, 30, 40, 50]
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("user_id").bitwiseAND(F.lit(MASK32)).alias("id"),
+        F.when(F.col("event_type") == "error", F.lit(-1))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("w"),
+    )
+    cs_t = CountSketch(width=1 << 16, depth=7, hash_family="ms", seed_stream=SeedStream(1234, 5678))
+    cs, _ = build_sketch(ev, cs_t, id_col="id", weight_col="w")
+    est = cs.point(np.array(probes, dtype=np.uint64))
+    return spark.createDataFrame(
+        [(int(u), int(e)) for u, e in zip(probes, est)], "user_id long, net_freq long"
+    ).orderBy("user_id")
+
+
+def _q_simhash_pairs_planted(spark, sf):
+    """Oracle-gated SimHash variant: plant TWO identical-text copies of
+    docs 0..24 (ids +10^7 and +2*10^7), run the radius-7 chunked
+    pipeline over the augmented corpus, keep pairs where both sides are
+    planted and hamming == 0. Identical text => identical simhash, and
+    docs 0..24 have 25 DISTINCT simhashes on this fixture (verified),
+    so the output is exactly the 25 (i+10^7, i+2*10^7) pairs — a DuckDB
+    text-equality oracle gates the whole chunk-bucket + popcount-verify
+    path. The unrestricted query (simhash_pairs) stays rows-only."""
+    from heavy_hitters_spark.functions.dedup import near_dup_pairs_simhash
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") < 25)
+    aug = docs.unionByName(
+        base.select((F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text")
+    ).unionByName(
+        base.select((F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"), "text")
+    )
+    pairs = near_dup_pairs_simhash(aug, max_hamming=7)
+    return (
+        pairs.where((F.col("doc_a") >= 10_000_000) & (F.col("hamming") == 0))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _q_jaccard_pairs_capped(spark, sf):
+    """The 100x-relevant capped path of jaccard_pairs: stop-shingles
+    with document frequency > 5 are dropped before pair generation
+    (web-scale hot-bucket bound), and the per-bucket ceiling is armed
+    too. Intersections count surviving shingles only; sizes stay exact
+    — the oracle applies the identical DF filter in SQL."""
+    from heavy_hitters_spark.functions.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return jaccard_pairs(
+        docs, threshold=0.2, n=3, max_shingle_df=5, max_bucket_size=5
+    )
+
+
 def _q_simhash_pairs(spark, sf):
     # 8 x 8-bit chunk bucketing: recall GUARANTEED for hamming <= 7
     # (pigeonhole); radius 7 keeps candidate volume ~n^2/256 per chunk
@@ -176,13 +246,19 @@ def _q_ann_topk(spark, sf):
 
 
 def _q_ann_lsh_topk(spark, sf):
+    """Hyperplane-LSH ANN. 6 planes x 16 tables: this fixture's
+    embeddings are near-uniform (the hard regime for LSH), so the
+    bucket design trades candidate volume for recall@10 = 0.53 vs the
+    exact ann_topk (deterministic, gated in tests/test_functions.py);
+    clustered real-world corpora hit far higher recall at far lower
+    volume (test_lsh_topk_recall_planted: 0.85+)."""
     import numpy as np
 
     from heavy_hitters_spark.functions.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     qv = [r["embedding"] for r in emb.where(F.col("vec_id") < 3).orderBy("vec_id").collect()]
-    return lsh_topk(emb, np.array(qv), k=10)
+    return lsh_topk(emb, np.array(qv), k=10, n_planes=6, n_tables=16)
 
 
 def _q_ann_ivf_topk(spark, sf):
@@ -493,7 +569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_groups": _q_dedup_near_groups,
         "topk_users_weighted": _q_topk_users_weighted,
         "jaccard_pairs": _q_jaccard_pairs,
+        "jaccard_pairs_capped": _q_jaccard_pairs_capped,
         "near_dup_minhash": _q_near_dup_minhash,
+        "turnstile_net_cs": _q_turnstile_net_cs,
+        "simhash_pairs_planted": _q_simhash_pairs_planted,
         "ann_topk": _q_ann_topk,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "events_user_range_exact": _q_events_user_range_exact,
@@ -612,6 +691,48 @@ def oracle_sql() -> dict[str, str]:
             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
                       FROM sh a JOIN sh b
+                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
+        """,
+        "turnstile_net_cs": """
+            WITH net AS (SELECT user_id,
+                                CAST(sum(CASE WHEN event_type = 'error'
+                                              THEN -1 ELSE 1 END) AS BIGINT) AS net
+                         FROM events GROUP BY user_id)
+            SELECT CAST(p.user_id AS BIGINT) AS user_id,
+                   CAST(coalesce(net.net, 0) AS BIGINT) AS net_freq
+            FROM (VALUES (10), (20), (30), (40), (50)) p(user_id)
+            LEFT JOIN net ON net.user_id = p.user_id
+            ORDER BY p.user_id
+        """,
+        "simhash_pairs_planted": """
+            WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
+            planted AS (SELECT doc_id + 10000000 AS doc_id, text FROM b
+                        UNION ALL
+                        SELECT doc_id + 20000000 AS doc_id, text FROM b)
+            SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                   CAST(0 AS BIGINT) AS hamming
+            FROM planted a JOIN planted c
+              ON a.doc_id < c.doc_id AND a.text = c.text
+            ORDER BY doc_a, doc_b
+        """,
+        "jaccard_pairs_capped": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(t[i.i : i.i + 2], ' ') AS shingle
+                   FROM toks, (SELECT unnest(range(1, 2000)) AS i) i
+                   WHERE i.i <= len(t) - 2),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5),
+            shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                      FROM shc a JOIN shc b
                         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                       GROUP BY 1, 2)
             SELECT doc_a, doc_b,

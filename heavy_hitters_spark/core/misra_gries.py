@@ -66,6 +66,12 @@ class MisraGries(Sketch):
         if not len(x):
             return
         c = as_i64(counts, len(x))
+        if c.min() < 0:
+            # Misra-Gries is a cash-register summary: a deletion would
+            # silently corrupt the decrement certificate and the
+            # N/(k+1) undercount bound. Turnstile streams belong in
+            # CountSketch (signed counters).
+            raise ValueError("MisraGries is insert-only; negative weights rejected")
         self.norm += int(c.sum())
         ux, inv = np.unique(x, return_inverse=True)
         uc = np.zeros(len(ux), dtype=np.int64)

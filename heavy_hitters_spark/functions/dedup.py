@@ -101,6 +101,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_df: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing >= 1 shingle.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
@@ -115,7 +116,13 @@ def jaccard_pairs(
     generation, bounding the otherwise-quadratic hot-shingle buckets.
     With the cap on, pairs that share ONLY stop-shingles are missed and
     intersections count non-stop shingles only (sizes stay exact) — a
-    documented recall/undercount trade; leave None for exact results."""
+    documented recall/undercount trade; leave None for exact results.
+
+    ``max_bucket_size`` is the belt-and-braces per-bucket ceiling (see
+    _bucket_pairs): where ``max_shingle_df`` prunes by document
+    frequency computed in a separate aggregation, the bucket cap bounds
+    the pair-expansion task memory directly even when the DF pass is
+    skipped."""
     # per-doc sizes map-side (no shuffle); pair generation over 8-byte
     # shingle hashes instead of shingle strings (narrower shuffle rows)
     toks = F.split(F.col(text_col), " ")
@@ -128,7 +135,7 @@ def jaccard_pairs(
         dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
         sh = sh.join(dfreq.where(F.col("df") <= max_shingle_df).select("h"), "h")
     inter = (
-        _bucket_pairs_all(sh, "h", id_col)
+        _bucket_pairs_all(sh, "h", id_col, max_bucket_size=max_bucket_size)
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -141,10 +148,18 @@ def jaccard_pairs(
     )
 
 
-def _bucket_pairs_all(keyed: DataFrame, bucket_col: str, id_col: str) -> DataFrame:
+def _bucket_pairs_all(
+    keyed: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Like _bucket_pairs but WITHOUT the distinct: one output row per
     (bucket, pair) co-occurrence, so downstream counts per pair equal
-    the number of shared buckets."""
+    the number of shared buckets.
+
+    ``max_bucket_size`` drops buckets with more ids than the cap BEFORE
+    pair expansion (see _bucket_pairs for the web-scale rationale)."""
     ids = F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     pairs = F.filter(
         F.flatten(
@@ -155,12 +170,32 @@ def _bucket_pairs_all(keyed: DataFrame, bucket_col: str, id_col: str) -> DataFra
         ),
         lambda p: p["doc_a"] < p["doc_b"],
     )
+    agg = keyed.groupBy(bucket_col).agg(ids).where(F.size("ids") > 1)
+    if max_bucket_size is not None:
+        agg = agg.where(F.size("ids") <= max_bucket_size)
     return (
-        keyed.groupBy(bucket_col)
-        .agg(ids)
-        .where(F.size("ids") > 1)
-        .select(F.explode(pairs).alias("p"))
+        agg.select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+    )
+
+
+def hot_bucket_stats(
+    keyed: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Observability companion to the ``max_bucket_size`` guard: one row
+    (n_buckets_dropped, n_ids_dropped, max_bucket_seen) describing what
+    the cap would discard. Run it when tuning the cap; the pair
+    functions themselves drop silently (same contract as
+    ``max_shingle_df``) so the hot path stays one aggregation."""
+    sizes = keyed.groupBy(*bucket_cols).agg(F.count("*").alias("m"))
+    return sizes.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("m") > max_bucket_size, 1).otherwise(0)), F.lit(0)
+        ).alias("n_buckets_dropped"),
+        F.coalesce(
+            F.sum(F.when(F.col("m") > max_bucket_size, F.col("m"))), F.lit(0)
+        ).alias("n_ids_dropped"),
+        F.max("m").alias("max_bucket_seen"),
     )
 
 
@@ -218,7 +253,12 @@ def minhash_col(text_col, n_hashes: int = 128, shingle_n: int = 3, seed: int = 0
     return _mh(shingle_hashes_col(text_col, shingle_n))
 
 
-def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+def _bucket_pairs(
+    keyed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """(bucket..., id) rows -> distinct candidate pairs (doc_a < doc_b).
 
     ONE shuffle (groupBy bucket, collect sorted ids) + in-bucket pair
@@ -226,7 +266,15 @@ def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], id_col: str) -> Data
     re-executes the whole upstream plan for both sides. Bucket pair
     count is inherently quadratic in bucket size (same as the join);
     web-scale inputs bound it by bucket design (band width / chunk bits)
-    and the stop-shingle-style caps upstream."""
+    and the stop-shingle-style caps upstream.
+
+    ``max_bucket_size`` is the hard ceiling for pathological buckets
+    (e.g. boilerplate-heavy corpora where one band bucket collects
+    millions of ids): buckets above the cap are DROPPED before pair
+    expansion, so no single task ever materializes more than
+    max_bucket_size^2 pairs. Recall trade mirrors ``max_shingle_df``:
+    pairs that co-occur ONLY in dropped buckets are missed. Use
+    ``hot_bucket_stats`` to size the cap."""
     ids = F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     pairs = F.filter(
         F.flatten(
@@ -237,11 +285,11 @@ def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], id_col: str) -> Data
         ),
         lambda p: p["doc_a"] < p["doc_b"],
     )
+    agg = keyed.groupBy(*bucket_cols).agg(ids).where(F.size("ids") > 1)
+    if max_bucket_size is not None:
+        agg = agg.where(F.size("ids") <= max_bucket_size)
     return (
-        keyed.groupBy(*bucket_cols)
-        .agg(ids)
-        .where(F.size("ids") > 1)
-        .select(F.explode(pairs).alias("p"))
+        agg.select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
@@ -255,11 +303,13 @@ def lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 0x51A5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (doc_a < doc_b). rows_per_band =
     n_hashes // bands; collision threshold s* ~ (1/bands)^(1/rows).
     Candidates come from bucket pair-generation (one aggregation), so
-    the MinHash signatures are computed exactly once."""
+    the MinHash signatures are computed exactly once.
+    ``max_bucket_size`` caps pathological band buckets (_bucket_pairs)."""
     rows = n_hashes // bands
     sig = df.select(F.col(id_col), minhash_col(text_col, n_hashes, shingle_n, seed).alias("sig"))
     banded = sig.select(
@@ -274,7 +324,7 @@ def lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    return _bucket_pairs(banded, ["band", "bh"], id_col)
+    return _bucket_pairs(banded, ["band", "bh"], id_col, max_bucket_size=max_bucket_size)
 
 
 def near_dup_pairs_minhash(
@@ -285,6 +335,7 @@ def near_dup_pairs_minhash(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates -> exact-Jaccard verification -> pairs >= threshold.
     Deterministic output (the sketch only prunes; the filter is exact).
@@ -293,14 +344,16 @@ def near_dup_pairs_minhash(
     shingle-hash arrays and computes |A∩B| via array_intersect — exact
     up to 64-bit shingle-hash identity (see _doc_shingle_hashes), and
     shuffles only candidate docs' arrays (never a shingle self-join
-    over the corpus)."""
-    cand = lsh_candidates(df, n_hashes, bands, shingle_n, text_col, id_col)
-    toks = F.split(F.col(text_col), " ")
+    over the corpus). Verification uses the SAME whole-text fallback as
+    the LSH signatures for docs shorter than shingle_n tokens, so
+    identical short docs verify at jaccard 1.0 instead of being
+    silently dropped with an empty shingle set."""
+    cand = lsh_candidates(
+        df, n_hashes, bands, shingle_n, text_col, id_col, max_bucket_size=max_bucket_size
+    )
     doc_sh = df.select(
         F.col(id_col),
-        F.array_distinct(
-            F.transform(shingle_grams(toks, shingle_n), lambda g: F.xxhash64(g))
-        ).alias("sh_set"),
+        F.array_distinct(shingle_hashes_col(text_col, shingle_n)).alias("sh_set"),
     )
     joined = (
         cand.join(doc_sh.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sa")), "doc_a")
@@ -379,10 +432,19 @@ def near_dup_pairs_simhash(
     Scale note: chunk width = 64/(max_hamming+1) bits sets the bucket
     count per chunk (2^width); small radii (<= 3, 16-bit chunks) keep
     candidate volume ~n^2/2^16 per chunk and are the web-scale setting;
-    larger radii trade exponentially more candidates for recall."""
+    larger radii trade exponentially more candidates for recall.
+
+    max_hamming == 0 is exact 64-bit simhash equality and short-circuits
+    to a plain bucket join on the full simhash (the chunked path would
+    need a 64-bit chunk mask, which overflows LongType literals)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    if max_hamming == 0:
+        sh0 = df.select(F.col(id_col), simhash_col(text_col).alias("sh"))
+        return _bucket_pairs(sh0, ["sh"], id_col).withColumn(
+            "hamming", F.lit(0).cast("long")
+        )
     n_chunks = max_hamming + 1
-    if n_chunks > 64:
-        raise ValueError("max_hamming must be < 64")
     base, rem = divmod(64, n_chunks)
     widths = [base + 1] * rem + [base] * (n_chunks - rem)
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
@@ -414,6 +476,9 @@ def near_dup_pairs_simhash(
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
+        # packed (ck, cv) bucket key: cv < 2^32 is guaranteed here
+        # because n_chunks >= 2 (radius 0 short-circuits above) bounds
+        # chunk widths at ceil(64/2) = 32 bits
         key = (pdf["ck"].to_numpy().astype(np.int64) << 32) | pdf["cv"].to_numpy().astype(np.int64)
         ids0 = pdf[id_col].to_numpy()
         # sort by (bucket, id): groups contiguous, ids ascending in-group
@@ -467,7 +532,7 @@ def near_dup_groups(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_iters: int = 20,
+    max_iters: int = 50,
 ) -> DataFrame:
     """(doc_id, canonical) — connected components over the verified
     near-dup pair graph, canonical = min doc_id in the component. This
@@ -477,8 +542,11 @@ def near_dup_groups(
     Distributed min-label propagation: each round joins labels to the
     (tiny, pairs-only) edge list and takes the min over neighbors —
     converges in <= component-diameter rounds (near-dup clusters are
-    shallow; max_iters bounds pathological chains). Docs not in any
-    pair are their own canonical and never enter the loop."""
+    shallow, and each extra round on the cached pair graph is cheap).
+    Docs not in any pair are their own canonical and never enter the
+    loop. If a pathological chain is still changing after max_iters
+    rounds the result would be WRONG (split components), so that raises
+    instead of returning silently."""
     pairs = near_dup_pairs_minhash(
         df, threshold, n_hashes, bands, shingle_n, text_col, id_col
     ).select("doc_a", "doc_b")
@@ -493,6 +561,7 @@ def near_dup_groups(
     )
     labels = labels.cache()
     labels.count()
+    changed = 0
     for _ in range(max_iters):
         neigh = (
             edges.join(labels.withColumnRenamed(id_col, "doc_b"), "doc_b")
@@ -516,6 +585,12 @@ def near_dup_groups(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"near_dup_groups did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters — each "
+            "round is one join over the cached pair graph"
+        )
     singletons = (
         df.select(F.col(id_col))
         .join(labels.select(id_col), id_col, "left_anti")

@@ -151,7 +151,16 @@ def lsh_topk(
         .select("query_id", id_col, vec_col)
         .dropDuplicates(["query_id", id_col])
     )
+    return _rescore_topk(cand, q, k, id_col, vec_col)
 
+
+def _rescore_topk(
+    cand: DataFrame, q: np.ndarray, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact-cosine rescoring of (query_id, id, vec) candidate rows +
+    global top-k per query — the shared tail of every ANN variant.
+    One Arrow pass for the dot products; the window tops out at
+    k * candidates-per-query shuffled rows."""
     schema = StructType(
         [
             StructField("query_id", LongType()),
@@ -263,6 +272,30 @@ def _dim_of(emb: DataFrame, vec_col: str) -> int:
 # ----------------------------------------------------------------------
 
 
+def _ivf_training_sample(
+    emb: DataFrame,
+    vec_col: str,
+    sample_fraction: float,
+    max_train_rows: int,
+    seed: int,
+) -> DataFrame:
+    """The bounded driver-side training sample: at most ~max_train_rows
+    vectors reach the driver NO MATTER the corpus size (count -> sample
+    at an over-shot fraction -> hard limit). The count is a cheap
+    metadata/row-group scan on parquet sources; the .limit is the hard
+    backstop against a driver OOM when the caller forgets to bound."""
+    s = emb.select(vec_col)
+    if sample_fraction < 1.0:
+        s = s.sample(fraction=sample_fraction, seed=seed)
+    n = s.count()
+    if n > max_train_rows:
+        # oversample by 25% so the limit (not sampling variance) sets
+        # the final size, keeping the training set deterministic-sized
+        frac = min(1.0, 1.25 * max_train_rows / n)
+        s = s.sample(fraction=frac, seed=seed)
+    return s.limit(max_train_rows)
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     n_cells: int = 64,
@@ -271,14 +304,15 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 0x1BF,
+    max_train_rows: int = 100_000,
 ) -> np.ndarray:
     """Deterministic spherical k-means on a driver-side sample — the
-    standard IVF coarse quantizer. At 100 TB train on a bounded sample
-    (e.g. 100k vectors via .sample(fraction)); assignment stays fully
-    distributed. Returns (n_cells x dim) L2-normalized centroids."""
-    s = emb.select(vec_col)
-    if sample_fraction < 1.0:
-        s = s.sample(fraction=sample_fraction, seed=seed)
+    standard IVF coarse quantizer. The sample is HARD-BOUNDED at
+    max_train_rows regardless of sample_fraction (default 100k vectors:
+    ~50 MB at dim 64 — safe on any driver even when the corpus is
+    100 TB); assignment stays fully distributed. Returns
+    (n_cells x dim) L2-normalized centroids."""
+    s = _ivf_training_sample(emb, vec_col, sample_fraction, max_train_rows, seed)
     mat = _normalize(np.stack([r[vec_col] for r in s.collect()]).astype(np.float64))
     # deterministic init: splitmix-shuffled sample rows
     order = np.argsort(splitmix64(np.arange(len(mat), dtype=np.uint64), seed))
@@ -340,33 +374,58 @@ def ivf_topk(
     )
     cells = emb.select(id_col, vec_col, ivf_assign_col(vec_col, centroids).alias("cell"))
     cand = cells.join(F.broadcast(qcells), "cell").select("query_id", id_col, vec_col)
+    return _rescore_topk(cand, q, k, id_col, vec_col)
 
-    schema = StructType(
-        [
-            StructField("query_id", LongType()),
-            StructField(id_col, LongType()),
-            StructField("score", DoubleType()),
-        ]
+
+def ivf_write(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 64,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Persist the write-once IVF layout: one distributed assignment
+    pass writes ``path/vectors`` as parquet PARTITIONED BY cell (so
+    later queries prune unprobed cells at the file-listing level, never
+    reading their bytes) plus a ``path/centroids`` sidecar. This is the
+    durable form of ivf_topk's per-call assignment — pay the scan once,
+    then every query touches ~n_probe/n_cells of the files."""
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    cells = emb.select(id_col, vec_col, ivf_assign_col(vec_col, centroids).alias("cell"))
+    cells.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/vectors")
+    cent_df = emb.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell long, centroid array<double>",
     )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return np.asarray(centroids, dtype=np.float64)
 
-    def rescore(batches):
-        from ..core import memtune  # noqa: F401
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-            qi = pdf["query_id"].to_numpy()
-            sc = np.einsum("ij,ij->i", q[qi], mat)
-            yield pd.DataFrame({"query_id": qi, id_col: pdf[id_col].to_numpy(), "score": sc})
-
-    scored = cand.mapInPandas(rescore, schema)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, F.round("score", 6).alias("score"), "rank")
-        .orderBy("query_id", "rank")
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a persisted ivf_write layout. The probed-cell
+    predicate is a PARTITION filter on the cell-partitioned parquet, so
+    the scan lists and reads only the probed cells' files; per-query
+    probe fan-out is the same broadcast (query_id, cell) join as
+    ivf_topk. Same results as ivf_topk with the same centroids."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows])
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(q @ centroids.T), axis=1)[:, : min(n_probe, len(centroids))]
+    probed_cells = sorted({int(c) for row in probes for c in row})
+    qcells = spark.createDataFrame(
+        [(int(qi), int(c)) for qi in range(len(q)) for c in probes[qi]],
+        "query_id long, cell long",
     )
+    vec = spark.read.parquet(f"{path}/vectors").where(F.col("cell").isin(probed_cells))
+    cand = vec.join(F.broadcast(qcells), "cell").select("query_id", id_col, vec_col)
+    return _rescore_topk(cand, q, k, id_col, vec_col)

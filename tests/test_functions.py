@@ -342,3 +342,209 @@ def test_near_dup_groups_transitive(spark):
     got = {r["doc_id"]: r["canonical"] for r in near_dup_groups(df, threshold=0.5, shingle_n=3).collect()}
     assert got[1] == 1 and got[2] == 1 and got[3] == 1  # one component
     assert got[9] == 9
+
+
+# ----------------------------------------------------------------------
+# round-3 additions: bucket ceilings, radius-0 simhash, short-doc
+# verification fallback, bounded IVF training, persisted IVF layout,
+# recall gates at the driver's own parameters, insert-only MG guard
+# ----------------------------------------------------------------------
+
+
+def test_max_bucket_size_guard(spark):
+    """A pathological bucket (every doc identical => one band bucket
+    with ALL ids) is dropped before pair expansion, so no task builds
+    the m^2 pair array; docs pairing through normal-sized buckets are
+    unaffected; hot_bucket_stats reports what the cap discarded."""
+    from heavy_hitters_spark.functions.dedup import (
+        hot_bucket_stats,
+        lsh_candidates,
+        near_dup_pairs_minhash,
+    )
+
+    rows = [(i, "mega bucket same text every row here") for i in range(300)]
+    rows += [(1000, "alpha beta gamma delta epsilon zeta eta theta"),
+             (1001, "alpha beta gamma delta epsilon zeta eta theta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = lsh_candidates(df, max_bucket_size=50).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert got == {(1000, 1001)}  # mega bucket dropped, small pair kept
+    # end-to-end through verification too
+    pairs = near_dup_pairs_minhash(df, threshold=0.9, max_bucket_size=50).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1000, 1001)}
+    # stats row quantifies the drop (300-id buckets across 32 bands)
+    from heavy_hitters_spark.functions.dedup import minhash_col
+    from pyspark.sql import functions as SF
+    sig = df.select("doc_id", minhash_col("text").alias("sig"))
+    banded = sig.select(
+        "doc_id",
+        SF.explode(
+            SF.transform(
+                SF.sequence(SF.lit(0), SF.lit(31)),
+                lambda b: SF.struct(
+                    b.alias("band"), SF.xxhash64(SF.slice("sig", b * 4 + 1, 4)).alias("bh")
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", SF.col("bb.band").alias("band"), SF.col("bb.bh").alias("bh"))
+    stats = hot_bucket_stats(banded, ["band", "bh"], max_bucket_size=50).collect()[0]
+    assert stats["n_buckets_dropped"] >= 32  # the mega bucket in every band
+    assert stats["max_bucket_seen"] == 300
+
+
+def test_jaccard_pairs_bucket_cap(spark):
+    """jaccard_pairs' per-bucket ceiling bounds hot shingles even when
+    the DF-based stop-shingle pass is skipped (cap == df here since
+    buckets are per-shingle)."""
+    common = "zzz yyy xxx"
+    rows = [(i, f"{common} unique{i} tail{i} end{i}") for i in range(60)]
+    rows.append((500, rows[0][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = jaccard_pairs(df, threshold=0.5, n=3, max_bucket_size=10)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    assert got == {(0, 500): 0.6}  # same as max_shingle_df=10 on this data
+
+
+def test_simhash_radius0_and_validation(spark):
+    """max_hamming=0 = exact 64-bit simhash equality (used to overflow
+    LongType via a 64-bit chunk mask); out-of-range radii raise."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # identical -> hamming 0
+        (3, "totally different other words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = near_dup_pairs_simhash(df, max_hamming=0).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in got] == [(1, 2, 0)]
+    with pytest.raises(ValueError):
+        near_dup_pairs_simhash(df, max_hamming=-1)
+    with pytest.raises(ValueError):
+        near_dup_pairs_simhash(df, max_hamming=64)
+
+
+def test_minhash_short_doc_fallback_verified(spark):
+    """Docs shorter than shingle_n tokens bucket via the whole-text
+    fallback hash AND verify via the same fallback — identical short
+    docs come out at jaccard 1.0 instead of being dropped by an empty
+    shingle set (0/0 -> NULL)."""
+    rows = [
+        (1, "hi there"),          # 2 tokens < shingle_n=3
+        (2, "hi there"),          # identical short doc
+        (3, "bye now"),           # different short doc
+        (4, "alpha beta gamma delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in near_dup_pairs_minhash(df, threshold=0.9, shingle_n=3).collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_mg_rejects_negative_weights():
+    """Misra-Gries is cash-register: deletions would corrupt the
+    decrement certificate, so negative weights raise."""
+    from heavy_hitters_spark.core import MisraGries
+
+    mg = MisraGries(k=8)
+    mg.update_batch(np.array([1, 2], dtype=np.uint64), np.array([3, 4], dtype=np.int64))
+    with pytest.raises(ValueError):
+        mg.update_batch(np.array([1], dtype=np.uint64), np.array([-1], dtype=np.int64))
+
+
+def test_ivf_training_sample_bounded(spark):
+    """The driver-side k-means sample is hard-capped regardless of
+    caller args — a 100 TB corpus cannot OOM the driver through the
+    default training path."""
+    from heavy_hitters_spark.functions.similarity import (
+        _ivf_training_sample,
+        train_ivf_centroids,
+    )
+
+    g = np.random.default_rng(7)
+    rows = [(i, g.normal(size=8).tolist()) for i in range(5000)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    s = _ivf_training_sample(emb, "embedding", sample_fraction=1.0,
+                             max_train_rows=500, seed=1)
+    assert s.count() <= 500
+    cents = train_ivf_centroids(emb, n_cells=8, max_train_rows=500)
+    assert cents.shape == (8, 8)
+
+
+def test_ivf_write_and_indexed_query(spark, tmp_path):
+    """ivf_write persists the cell-partitioned layout; ivf_topk_indexed
+    returns the same rows as the in-memory ivf_topk with the same
+    centroids, and its scan carries a PartitionFilter on cell (probed
+    cells only — unprobed cells' files are never read)."""
+    from heavy_hitters_spark.functions.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_write,
+        train_ivf_centroids,
+    )
+    from pyspark.sql import functions as SF
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_cells=8)
+    path = str(tmp_path / "ivf")
+    ivf_write(emb, path, centroids=cents)
+    rows = emb.orderBy("vec_id").limit(3).collect()
+    q = np.array([r["embedding"] for r in rows])
+    direct = ivf_topk(emb, q, k=5, n_probe=2, centroids=cents).collect()
+    indexed = ivf_topk_indexed(spark, path, q, k=5, n_probe=2).collect()
+    assert [tuple(r) for r in indexed] == [tuple(r) for r in direct]
+    # the probed-cell predicate is a partition filter at the scan
+    vec = spark.read.parquet(f"{path}/vectors").where(SF.col("cell").isin([0, 1]))
+    vec.collect()
+    plan = vec._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # and partition pruning actually restricts the rows read
+    full = spark.read.parquet(f"{path}/vectors").count()
+    assert vec.count() < full
+
+
+def test_ann_recall_gates_driver_params(spark):
+    """recall@10 of the approximate ANN paths vs the exact ann_topk at
+    the DRIVER queries' own parameters on the sf0.01 fixture — all
+    seeds fixed, so these are deterministic values, not flaky bounds
+    (measured: lsh 0.53, ivf 0.63 on near-uniform embeddings, the
+    hardest regime for both)."""
+    from heavy_hitters_spark.functions.similarity import ivf_topk, train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = np.array([r["embedding"]
+                   for r in emb.where(F.col("vec_id") < 3).orderBy("vec_id").collect()])
+    exact = brute_force_topk(emb, qv, k=10).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(rows):
+        ap = {}
+        for r in rows:
+            ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return np.mean([len(ap.get(qid, set()) & ex[qid]) / 10 for qid in ex])
+
+    lsh = lsh_topk(emb, qv, k=10, n_planes=6, n_tables=16).collect()
+    assert recall(lsh) >= 0.5
+    cents = train_ivf_centroids(emb, n_cells=32)
+    ivf = ivf_topk(emb, qv, k=10, n_probe=8, centroids=cents).collect()
+    assert recall(ivf) >= 0.6
+    # self-hit is deterministic for both (query IS a corpus vector)
+    for rows in (lsh, ivf):
+        firsts = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+        assert firsts == {0: 0, 1: 1, 2: 2}
+
+
+def test_near_dup_groups_nonconvergence_raises(spark):
+    """Stopping while labels still change would silently split
+    components — the loop must raise instead."""
+    from heavy_hitters_spark.functions.dedup import near_dup_groups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    a = " ".join(base)
+    b = " ".join(base[:-1] + ["CHANGED1"])
+    c = " ".join(base[:-2] + ["CHANGED2", "CHANGED1"])
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_groups(df, threshold=0.5, shingle_n=3, max_iters=1)
