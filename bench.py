@@ -3,12 +3,26 @@
 Headline: sketch-update + merge throughput (docs/sec) for a one-pass
 multi-sketch build (CM + CS + MG + HLL + KLL + DyadicHH) over the
 tokens of a synthesized Common-Crawl-style ``pages`` table, run at TWO
-parallelism levels — local[2] vs local[8], i.e. 4 vs 16 busy cores,
-both undersubscribed on the 32-vCPU box — as the sandbox proxy for N
-vs 4N executors (driver instruction). Reports throughput at both and
-scaling efficiency = rate_hi / (4 * rate_lo), median over 3
-interleaved (hi, lo) rounds; target >= 0.8. Input partition count is
-FIXED across levels (splits are data-determined on a real cluster).
+parallelism levels as the sandbox proxy for N vs 4N executors (driver
+instruction: no real cluster here).
+
+PRE-REGISTERED configuration (fixed before this round's runs; identical
+to round 2's job definition so walls stay comparable):
+  - input: 200,000 pages, FIXED 16 input partitions at both levels
+    (splits are data-determined on a real cluster)
+  - levels: local[2] (N) vs local[8] (4N) — one local slot = 1 JVM
+    task thread + 1 Python worker = 2 busy cores, so 4 vs 16 busy
+    cores, BOTH undersubscribed on the 32-vCPU box (at 32 busy
+    threads the single memory bus drops per-worker rate ~40%, which
+    would measure the host, not the engine)
+  - per process: 1 untimed warm-up build + 4 timed builds; the level's
+    wall is the MEDIAN of the 4 (no best-of selection)
+  - 5 interleaved (hi, lo) rounds, order alternating per round, each
+    level in a fresh subprocess (session reuse degrades local mode)
+  - per-round efficiency = median_wall_lo / (4 * median_wall_hi);
+    HEADLINE = median of the 5 per-round efficiencies; every wall and
+    every per-round efficiency is reported; no pooled/best variant
+  - target: scaling_efficiency_n_to_4n >= 0.8 (BASELINE.json)
 
 Also times each driver-gated query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) and emits ONE JSON line:
@@ -106,20 +120,24 @@ def build_run(master: str, with_phases: bool = True) -> dict:
     pages = spark.read.parquet(PAGES_DIR).select("text").repartition(BENCH_PARTS).cache()
     n_docs = pages.count()
     # steady-state measurement: full untimed warm-up pass (JIT + heap
-    # first-touch — this sandbox's cold page faults are ~100x slower than
-    # reuse), then best-of-4 timed passes: the host VM runs proactive
-    # memory reclaim (DAMON), so wall clock is noisy upward; min is the
-    # reclaim-free figure
+    # first-touch — this sandbox's cold page faults are ~100x slower
+    # than reuse), then 4 timed passes summarized by their MEDIAN
+    # (pre-registered; robust to the host VM's upward reclaim spikes
+    # without best-of selection)
     # fanin=64: all per-partition states fold on the driver (collect is
     # ~0.25 s for 32 x ~2 MB states; a distributed merge round costs a
     # full extra Spark job — measured 7.4 s -> 5.8 s per build)
-    build_token_sketch(pages, _tmpl(), text_col="text", fanin=64)
+    build_token_sketch(pages, _tmpl(), text_col="text", fanin=64, n_hint=BENCH_PARTS)
     walls = []
     for _ in range(4):
         t0 = time.perf_counter()
-        sk, metrics = build_token_sketch(pages, _tmpl(), text_col="text", fanin=64)
+        sk, metrics = build_token_sketch(
+            pages, _tmpl(), text_col="text", fanin=64, n_hint=BENCH_PARTS
+        )
         walls.append(time.perf_counter() - t0)
-    wall = min(walls)
+    # median of the timed passes (pre-registered; no best-of selection)
+    wall = sorted(walls)[1:3]
+    wall = (wall[0] + wall[1]) / 2.0
     phases = phase_split(pages, n_docs) if with_phases else None
     spark.stop()
     return {
@@ -147,9 +165,11 @@ def phase_split(pages, n_docs: int) -> dict:
     from heavy_hitters_spark.spark.aggregate import tree_merge
     from heavy_hitters_spark.spark.fused import _fused_fn, PARTIAL_SCHEMA
 
+    from heavy_hitters_spark.core.base import pack_state
+
     t0 = time.perf_counter()
     tmpl = _tmpl()
-    tb = tmpl.to_bytes()
+    tb = pack_state(tmpl)
     t_create = time.perf_counter() - t0
 
     import shutil
@@ -198,17 +218,41 @@ def time_queries() -> dict[str, float]:
     out: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         try:
-            walls = []
-            for _ in range(2):  # steady state: best of 2 (first run pays
-                t0 = time.perf_counter()  # session JIT + page-cache faults)
-                fn(spark, SF_DIR).collect()
-                walls.append(time.perf_counter() - t0)
-            out[name] = round(min(walls), 3)
+            # fixed rule (pre-registered): one untimed warm-up run pays
+            # session JIT + page-cache faults, the SECOND run is the
+            # reported steady-state wall — no min/best selection
+            fn(spark, SF_DIR).collect()
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            out[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001
             out[name] = -1.0
             print(f"# query {name} failed: {e}", file=sys.stderr)
     spark.stop()
     return out
+
+
+def previous_query_walls() -> tuple[str, dict[str, float]]:
+    """Latest BENCH_r{N}.json's per-query walls, for regression
+    tracking across rounds ('' if none found)."""
+    import glob
+    import re
+
+    best, walls = "", {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        if not best or int(m.group(1)) > int(re.search(r"BENCH_r(\d+)\.json$", best).group(1)):
+            best = p
+    if best:
+        try:
+            with open(best) as f:
+                walls = json.load(f).get("queries", {})
+        except Exception:  # noqa: BLE001
+            walls = {}
+    return os.path.basename(best), walls
 
 
 def build_run_subprocess(master: str, with_phases: bool = False) -> dict:
@@ -253,32 +297,43 @@ def main() -> None:
     # ~10-minute scales (background reclaim), so a single hi-lo-hi
     # bracket can pair one level's good state with the other's bad one.
     # Each round measures both levels back-to-back (shared machine
-    # state) and yields a per-round efficiency; the headline is the
-    # MEDIAN per-round efficiency (judge-suggested robust form), with
-    # the pooled best-wall variant also reported.
+    # state), order alternating per round, and yields a per-round
+    # efficiency from its own two median walls; the headline is the
+    # MEDIAN of the 5 per-round efficiencies. Nothing is pooled across
+    # rounds and no per-level best is selected (pre-registered).
     rounds = []
-    for i in range(3):
-        # alternate within-round order: host throughput drifts
-        # monotonically over a multi-minute run, so always measuring the
-        # same level first would bias the ratio; alternation cancels it
+    n_rounds = 5
+    for i in range(n_rounds):
+        phases = i == n_rounds - 1
         if i % 2 == 0:
-            rhi = build_run_subprocess(f"local[{hi}]", with_phases=(i == 2))
-            rlo = build_run_subprocess(f"local[{lo}]", with_phases=(i == 2))
+            rhi = build_run_subprocess(f"local[{hi}]", with_phases=phases)
+            rlo = build_run_subprocess(f"local[{lo}]", with_phases=phases)
         else:
             rlo = build_run_subprocess(f"local[{lo}]", with_phases=False)
             rhi = build_run_subprocess(f"local[{hi}]", with_phases=False)
         rounds.append((rhi, rlo, rhi["docs_per_sec"] / (4.0 * rlo["docs_per_sec"])))
-    effs = sorted(e for _, _, e in rounds)
-    eff = effs[len(effs) // 2]  # median per-round efficiency
-    r32 = max((r for r, _, _ in rounds), key=lambda r: r["docs_per_sec"])
-    r8 = max((r for _, r, _ in rounds), key=lambda r: r["docs_per_sec"])
-    r32["wall_all"] = [w for r, _, _ in rounds for w in r["wall_all"]]
-    r8["wall_all"] = [w for _, r, _ in rounds for w in r["wall_all"]]
-    r32["phases"] = next((r["phases"] for r, _, _ in rounds if r.get("phases")), None)
-    r8["phases"] = next((r["phases"] for _, r, _ in rounds if r.get("phases")), None)
-    eff_pooled = r32["docs_per_sec"] / (4.0 * r8["docs_per_sec"])
+
+    def median(xs):
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    eff = median([e for _, _, e in rounds])
+    rate_hi = median([r["docs_per_sec"] for r, _, _ in rounds])
+    rate_lo = median([r["docs_per_sec"] for _, r, _ in rounds])
+    upd_hi = median([r["updates_per_sec"] for r, _, _ in rounds])
+    walls_hi = [w for r, _, _ in rounds for w in r["wall_all"]]
+    walls_lo = [w for _, r, _ in rounds for w in r["wall_all"]]
+    phases_hi = next((r["phases"] for r, _, _ in rounds if r.get("phases")), None)
+    phases_lo = next((r["phases"] for _, r, _ in rounds if r.get("phases")), None)
     queries = time_queries()
-    total = sum(v for v in queries.values() if v > 0) + r8["wall_sec"] + r32["wall_sec"]
+    prev_name, prev_walls = previous_query_walls()
+    regressions = {
+        q: {"prev": prev_walls[q], "now": w, "ratio": round(w / prev_walls[q], 2)}
+        for q, w in queries.items()
+        if q in prev_walls and prev_walls[q] > 0 and w > 1.5 * prev_walls[q]
+    }
+    total = sum(v for v in queries.values() if v > 0) + median(walls_lo) + median(walls_hi)
     result = {
         "metric": "sketch_build_and_query_suite",
         "value": round(total, 3),
@@ -286,45 +341,48 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR,
         "pages_rows": PAGES_N,
-        "parallelism_lo": r8["master"],
-        "parallelism_hi": r32["master"],
-        "docs_per_sec_lo": round(r8["docs_per_sec"], 1),
-        "docs_per_sec_hi": round(r32["docs_per_sec"], 1),
-        "updates_per_sec_hi": round(r32["updates_per_sec"], 1),
+        "parallelism_lo": f"local[{lo}]",
+        "parallelism_hi": f"local[{hi}]",
+        "docs_per_sec_lo": round(rate_lo, 1),
+        "docs_per_sec_hi": round(rate_hi, 1),
+        "updates_per_sec_hi": round(upd_hi, 1),
         "scaling_efficiency_n_to_4n": round(eff, 3),
         "scaling_efficiency_per_round": [round(e, 3) for _, _, e in rounds],
-        "scaling_efficiency_pooled_best": round(eff_pooled, 3),
-        "walls_lo": r8["wall_all"],
-        "walls_hi": r32["wall_all"],
-        "phases_lo": r8.get("phases"),
-        "phases_hi": r32.get("phases"),
+        "walls_lo": walls_lo,
+        "walls_hi": walls_hi,
+        "phases_lo": phases_lo,
+        "phases_hi": phases_hi,
+        "regressions_vs": prev_name,
+        "regressions": regressions,
     }
+    n_upd = rounds[0][0]["updates"]
     with open(os.path.join(BENCH_DIR, "BASELINE.md"), "a") as f:
         f.write(
             f"\n## bench run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
             "One-pass 6-sketch build (CM+CS+MG+HLL+KLL+DyadicHH) over the\n"
             f"tokens of {PAGES_N} synthesized Common-Crawl-style pages\n"
-            f"({r32['updates']} token updates). Each parallelism level runs in a\n"
-            "fresh process (one Spark local task slot = JVM thread + Python\n"
-            f"worker = 2 busy cores, so {r8['master']}/{r32['master']} occupy 4/16 of the\n"
-            "32 vCPUs — the N vs 4N executor proxy chosen so BOTH levels leave\n"
-            "the box undersubscribed: per-worker kernel throughput is then\n"
-            "constant across levels and the ratio measures the engine, not\n"
-            "this single host's memory-bus saturation (at 32 busy threads the\n"
-            "per-worker rate drops ~40%; real 4N-executor clusters add memory\n"
-            "buses with the cores). Best of 4 timed passes after a full\n"
-            "warm-up pass (host VM runs proactive memory reclaim; min is the\n"
-            "reclaim-free figure; all walls reported). Query timings are\n"
-            "best-of-2 (steady state).\n\n"
+            f"({n_upd} token updates). PRE-REGISTERED methodology (see\n"
+            "bench.py module docstring; job definition identical to round 2):\n"
+            f"fixed {BENCH_PARTS} input partitions at both levels; local[{lo}] vs\n"
+            f"local[{hi}] = 4 vs 16 busy cores, both undersubscribed (32 busy\n"
+            "threads would saturate this single box's memory bus and measure\n"
+            "the host, not the engine); fresh subprocess per measurement;\n"
+            "per process 1 warm-up + 4 timed builds summarized by their\n"
+            f"median; {n_rounds} interleaved (hi, lo) rounds with alternating\n"
+            "order; headline efficiency = MEDIAN of the per-round\n"
+            "efficiencies; all walls and all per-round efficiencies below —\n"
+            "no best-of selection, no pooled variant. Query walls are the\n"
+            "second (steady-state) run after one warm-up run.\n\n"
             f"| metric | value |\n|---|---|\n"
-            f"| docs/sec {r8['master']} (~N) | {r8['docs_per_sec']:.1f} (walls {r8['wall_all']}) |\n"
-            f"| docs/sec {r32['master']} (~4N) | {r32['docs_per_sec']:.1f} (walls {r32['wall_all']}) |\n"
-            f"| updates/sec {r32['master']} | {r32['updates_per_sec']:.1f} |\n"
-            f"| scaling efficiency N->4N, median of 3 interleaved rounds (target >= 0.8) | {eff:.3f} |\n"
-            f"| per-round efficiencies / pooled-best | {[round(e,3) for _,_,e in rounds]} / {eff_pooled:.3f} |\n"
-            f"| phase split {r8['master']} (create/update/merge/query) | {json.dumps(r8.get('phases'))} |\n"
-            f"| phase split {r32['master']} | {json.dumps(r32.get('phases'))} |\n"
+            f"| docs/sec local[{lo}] (~N), median of rounds | {rate_lo:.1f} (all walls {walls_lo}) |\n"
+            f"| docs/sec local[{hi}] (~4N), median of rounds | {rate_hi:.1f} (all walls {walls_hi}) |\n"
+            f"| updates/sec local[{hi}], median of rounds | {upd_hi:.1f} |\n"
+            f"| scaling efficiency N->4N, median of {n_rounds} interleaved rounds (target >= 0.8) | {eff:.3f} |\n"
+            f"| per-round efficiencies (primary record) | {[round(e, 3) for _, _, e in rounds]} |\n"
+            f"| phase split local[{lo}] (create/update/merge/query) | {json.dumps(phases_lo)} |\n"
+            f"| phase split local[{hi}] | {json.dumps(phases_hi)} |\n"
             f"| query timings (sec) | {json.dumps(queries)} |\n"
+            f"| regressions > 1.5x vs {prev_name or 'n/a'} | {json.dumps(regressions)} |\n"
         )
     print(json.dumps(result))
 

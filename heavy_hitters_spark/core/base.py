@@ -16,11 +16,13 @@ from __future__ import annotations
 
 import json
 import struct
+import zlib
 from typing import Any
 
 import numpy as np
 
 MAGIC = b"HHS1"
+WIRE_MAGIC = b"HHZ1"  # zlib-compressed envelope around a raw HHS1 blob
 
 _REGISTRY: dict[str, type] = {}
 
@@ -72,6 +74,33 @@ class Sketch:
             _load_builtin_types()
         cls = _REGISTRY[header["type"]]
         return cls._from_parts(header, payload)
+
+
+def pack_state(sk: "Sketch") -> bytes:
+    """Wire form of a sketch state for Spark shipping: zlib(level 1)
+    over the raw HHS1 blob. Sketch payloads are mostly-small int64
+    counter tables (5x typical, 150x for a fresh template), so packing
+    turns the serial driver-side collect of N partial states — the
+    Amdahl term of the distributed build — into ~1/5 the bytes for
+    ~20 ms/partition of PARALLEL worker CPU."""
+    return pack_state_bytes(sk.to_bytes())
+
+
+def pack_state_bytes(raw: bytes) -> bytes:
+    """pack_state for a caller that already has the raw blob (lets the
+    emitter report the RAW size for space accounting while shipping the
+    packed form, without serializing twice)."""
+    return WIRE_MAGIC + zlib.compress(raw, 1)
+
+
+def unpack_state(data) -> "Sketch":
+    """Inverse of pack_state; transparently accepts raw HHS1 blobs too
+    (durable checkpoints written before compression, direct to_bytes
+    output), so readers never need to know which form they hold."""
+    b = bytes(data)
+    if b[:4] == WIRE_MAGIC:
+        b = zlib.decompress(b[4:])
+    return Sketch.from_bytes(b)
 
 
 def _load_builtin_types() -> None:

@@ -50,7 +50,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..core.base import Sketch
+from ..core.base import Sketch, pack_state, unpack_state
 
 PARTIAL_SCHEMA = StructType(
     [
@@ -70,9 +70,9 @@ def _partial_fn(template_bytes: bytes, id_col: str, weight_col: str | None):
         from pyspark import TaskContext
 
         from ..core import memtune  # noqa: F401  (mallopt inside the worker)
-        from ..core.base import Sketch
+        from ..core.base import pack_state_bytes, unpack_state
 
-        sk = Sketch.from_bytes(template_bytes)
+        sk = unpack_state(template_bytes)
         t0 = time.perf_counter()
         n_rows = n_upd = 0
         files: set[str] = set()
@@ -84,7 +84,8 @@ def _partial_fn(template_bytes: bytes, id_col: str, weight_col: str | None):
             sk.update_batch(ids, w)
             n_rows += len(pdf)
             n_upd += len(ids) if w is None else int(abs(w).sum())
-        state = sk.to_bytes()
+        raw = sk.to_bytes()
+        state = pack_state_bytes(raw)  # ship packed; account raw (SPACE)
         ctx = TaskContext.get()
         yield pd.DataFrame(
             {
@@ -93,7 +94,7 @@ def _partial_fn(template_bytes: bytes, id_col: str, weight_col: str | None):
                 "n_rows": [n_rows],
                 "n_updates": [n_upd],
                 "wall_ms": [(time.perf_counter() - t0) * 1000.0],
-                "state_bytes": [len(state)],
+                "state_bytes": [len(raw)],
                 "files": [",".join(sorted(files))],
             }
         )
@@ -103,13 +104,14 @@ def _partial_fn(template_bytes: bytes, id_col: str, weight_col: str | None):
 
 def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     from ..core import memtune  # noqa: F401
-    from ..core.base import Sketch
+    from ..core.base import pack_state_bytes, unpack_state
 
     t0 = time.perf_counter()
-    acc = Sketch.from_bytes(pdf["state"].iloc[0])
+    acc = unpack_state(pdf["state"].iloc[0])
     for blob in pdf["state"].iloc[1:]:
-        acc = acc.merge(Sketch.from_bytes(blob))
-    state = acc.to_bytes()
+        acc = acc.merge(unpack_state(blob))
+    raw = acc.to_bytes()
+    state = pack_state_bytes(raw)
     files = ",".join(sorted({f for f in pdf["files"] if f}))[:65536]
     return pd.DataFrame(
         {
@@ -118,7 +120,7 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "n_rows": [int(pdf["n_rows"].sum())],
             "n_updates": [int(pdf["n_updates"].sum())],
             "wall_ms": [float(pdf["wall_ms"].sum()) + (time.perf_counter() - t0) * 1000.0],
-            "state_bytes": [len(state)],
+            "state_bytes": [len(raw)],
             "files": [files],
         }
     )
@@ -135,7 +137,7 @@ def partial_states(
     cols = [id_col] + ([weight_col] if weight_col else [])
     sel = df.select(*cols, F.input_file_name().alias("__file")) if with_lineage else df.select(*cols)
     return sel.mapInPandas(
-        _partial_fn(template.to_bytes(), id_col, weight_col), PARTIAL_SCHEMA
+        _partial_fn(pack_state(template), id_col, weight_col), PARTIAL_SCHEMA
     )
 
 
@@ -149,7 +151,7 @@ def _windowed_partial_fn(template_bytes: bytes, id_col: str, weight_col: str | N
         from pyspark import TaskContext
 
         from ..core import memtune  # noqa: F401
-        from ..core.base import Sketch
+        from ..core.base import pack_state_bytes, unpack_state
 
         t0 = time.perf_counter()
         sketches: dict = {}  # window_start -> [sketch, n_rows, n_updates]
@@ -157,7 +159,7 @@ def _windowed_partial_fn(template_bytes: bytes, id_col: str, weight_col: str | N
             for w, sub in pdf.groupby("window_start", sort=False):
                 ent = sketches.get(w)
                 if ent is None:
-                    ent = sketches[w] = [Sketch.from_bytes(template_bytes), 0, 0]
+                    ent = sketches[w] = [unpack_state(template_bytes), 0, 0]
                 ids = sub[id_col].to_numpy()
                 wts = sub[weight_col].to_numpy() if weight_col else None
                 ent[0].update_batch(ids, wts)
@@ -168,7 +170,8 @@ def _windowed_partial_fn(template_bytes: bytes, id_col: str, weight_col: str | N
         wall = (time.perf_counter() - t0) * 1000.0
         rows = []
         for w, (sk, n_rows, n_upd) in sketches.items():
-            state = sk.to_bytes()
+            raw = sk.to_bytes()
+            state = pack_state_bytes(raw)
             rows.append(
                 {
                     "part_id": pid,
@@ -176,7 +179,7 @@ def _windowed_partial_fn(template_bytes: bytes, id_col: str, weight_col: str | N
                     "n_rows": n_rows,
                     "n_updates": n_upd,
                     "wall_ms": wall / max(1, len(sketches)),
-                    "state_bytes": len(state),
+                    "state_bytes": len(raw),
                     "files": "",
                     "window_start": w,
                 }
@@ -200,7 +203,7 @@ def windowed_partial_states(
     per-window rescan of the input."""
     cols = ["window_start", id_col] + ([weight_col] if weight_col else [])
     return df.select(*cols).mapInPandas(
-        _windowed_partial_fn(template.to_bytes(), id_col, weight_col),
+        _windowed_partial_fn(pack_state(template), id_col, weight_col),
         WINDOWED_PARTIAL_SCHEMA,
     )
 
@@ -222,7 +225,7 @@ def tree_merge(partials: DataFrame, fanin: int = 16, n_hint: int | None = None) 
     rows = cur.collect()
     if not rows:
         raise ValueError("no partial states (empty input?)")
-    acc = Sketch.from_bytes(rows[0]["state"])
+    acc = unpack_state(rows[0]["state"])
     metrics = {
         "n_rows": rows[0]["n_rows"],
         "n_updates": rows[0]["n_updates"],
@@ -230,7 +233,7 @@ def tree_merge(partials: DataFrame, fanin: int = 16, n_hint: int | None = None) 
         "n_partials": 1,
     }
     for r in rows[1:]:
-        acc = acc.merge(Sketch.from_bytes(r["state"]))
+        acc = acc.merge(unpack_state(r["state"]))
         metrics["n_rows"] += r["n_rows"]
         metrics["n_updates"] += r["n_updates"]
         metrics["wall_ms"] += r["wall_ms"]

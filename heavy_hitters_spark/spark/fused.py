@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core.base import Sketch
+from ..core.base import Sketch, pack_state
 from .aggregate import PARTIAL_SCHEMA, tree_merge
 
 
@@ -39,10 +39,10 @@ def _fused_fn(template_bytes: bytes, text_col: str, split: str = " "):
         from pyspark import TaskContext
 
         from ..core import memtune  # noqa: F401
-        from ..core.base import Sketch
+        from ..core.base import pack_state_bytes, unpack_state
         from .keys import MASK32, xxh64
 
-        sk = Sketch.from_bytes(template_bytes)
+        sk = unpack_state(template_bytes)
         t0 = time.perf_counter()
         n_rows = n_upd = 0
         memo: dict[str, int] = {}
@@ -71,7 +71,8 @@ def _fused_fn(template_bytes: bytes, text_col: str, split: str = " "):
             n_rows += len(texts)
             n_upd += len(ids)
         ctx = TaskContext.get()
-        state = sk.to_bytes()
+        raw = sk.to_bytes()
+        state = pack_state_bytes(raw)  # ship packed; account raw (SPACE)
         yield pa.RecordBatch.from_pydict(
             {
                 "part_id": [ctx.partitionId() if ctx else -1],
@@ -79,7 +80,7 @@ def _fused_fn(template_bytes: bytes, text_col: str, split: str = " "):
                 "n_rows": [n_rows],
                 "n_updates": [n_upd],
                 "wall_ms": [(time.perf_counter() - t0) * 1000.0],
-                "state_bytes": [len(state)],
+                "state_bytes": [len(raw)],
                 "files": [""],
             },
             schema=pa.schema(
@@ -103,11 +104,14 @@ def build_token_sketch(
     template: Sketch,
     text_col: str = "text",
     fanin: int = 64,
+    n_hint: int | None = None,
 ) -> tuple[Sketch, dict]:
     """One-pass fused build over a text column; returns (sketch, metrics).
     Equivalent result to tokens(df) -> key_id_col -> build_sketch, at a
     fraction of the JVM->Python transfer."""
     partials = df.select(text_col).mapInArrow(
-        _fused_fn(template.to_bytes(), text_col), PARTIAL_SCHEMA
+        _fused_fn(pack_state(template), text_col), PARTIAL_SCHEMA
     )
-    return tree_merge(partials, fanin=fanin, n_hint=df.rdd.getNumPartitions())
+    if n_hint is None:
+        n_hint = df.rdd.getNumPartitions()
+    return tree_merge(partials, fanin=fanin, n_hint=n_hint)

@@ -242,3 +242,22 @@ def test_misra_gries_decrement_witness_on_ties():
     assert mg.decrement >= 1
     # absent items are undercounted by at most decrement
     assert all(1 - mg.decrement <= int(e) for e in mg.point(np.arange(1, 6, dtype=np.uint64)))
+
+
+def test_wire_pack_roundtrip():
+    """Packed wire states (zlib envelope) round-trip and interop with
+    raw HHS1 blobs; packing a fresh template is ~150x smaller (the
+    partial-collect Amdahl term of the distributed build)."""
+    import numpy as np
+
+    from heavy_hitters_spark.core import CountMin, SeedStream
+    from heavy_hitters_spark.core.base import pack_state, unpack_state
+
+    cm = CountMin(width=1 << 12, depth=5, seed_stream=SeedStream(1, 2))
+    cm.update_batch(np.arange(1000, dtype=np.uint64))
+    raw = cm.to_bytes()
+    packed = pack_state(cm)
+    assert len(packed) < len(raw)
+    for blob in (raw, packed):
+        got = unpack_state(blob)
+        assert got.to_bytes() == raw  # identical state either way
