@@ -119,7 +119,7 @@ def jaccard_pairs(
     documented recall/undercount trade; leave None for exact results.
 
     ``max_bucket_size`` is the belt-and-braces per-bucket ceiling (see
-    _bucket_pairs): where ``max_shingle_df`` prunes by document
+    _bucket_pairs_all): where ``max_shingle_df`` prunes by document
     frequency computed in a separate aggregation, the bucket cap bounds
     the pair-expansion task memory directly even when the DF pass is
     skipped."""
@@ -135,9 +135,9 @@ def jaccard_pairs(
         dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
         sh = sh.join(dfreq.where(F.col("df") <= max_shingle_df).select("h"), "h")
     inter = (
-        _bucket_pairs_all(sh, "h", id_col, max_bucket_size=max_bucket_size)
+        _bucket_pairs_all_kernel(sh, "h", id_col, max_bucket_size=max_bucket_size)
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        .agg(F.sum("cnt").alias("inter"))
     )
     return (
         inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
@@ -154,12 +154,19 @@ def _bucket_pairs_all(
     id_col: str,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Like _bucket_pairs but WITHOUT the distinct: one output row per
-    (bucket, pair) co-occurrence, so downstream counts per pair equal
-    the number of shared buckets.
+    """REFERENCE implementation of bucket pair expansion in pure
+    Catalyst (groupBy + collect_list + nested transform): one output
+    row per (bucket, pair) co-occurrence, so downstream counts per pair
+    equal the number of shared buckets. The HOT PATH is
+    _bucket_pairs_all_kernel (same contract, ~20-25% faster on ~1M
+    mostly-size-1 buckets: per-group array allocation and the transform^2
+    expansion dominate here); a parity test pins them equal.
 
     ``max_bucket_size`` drops buckets with more ids than the cap BEFORE
-    pair expansion (see _bucket_pairs for the web-scale rationale)."""
+    pair expansion: one pathological bucket (boilerplate-heavy corpus)
+    would otherwise materialize m^2 pairs in one task. Pairs that
+    co-occur ONLY in dropped buckets are missed (mirrors
+    ``max_shingle_df``); use ``hot_bucket_stats`` to size the cap."""
     ids = F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     pairs = F.filter(
         F.flatten(
@@ -177,6 +184,91 @@ def _bucket_pairs_all(
         agg.select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
     )
+
+
+def _pairs_by_size(key: np.ndarray, ids: np.ndarray, max_bucket_size: int | None):
+    """Vectorized in-kernel bucket pair expansion: sort by (bucket, id),
+    find bucket boundaries, then expand i<j index pairs for ALL buckets
+    of each distinct size at once (offsets[:, None] + triu template) —
+    no per-bucket Python loop, no per-group array allocation. Returns
+    (doc_a, doc_b) with doc_a < doc_b (id order within bucket)."""
+    order = np.lexsort((ids, key))
+    k_s, id_s = key[order], ids[order]
+    bounds = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1], True])
+    sizes = np.diff(bounds)
+    keep = sizes >= 2
+    if max_bucket_size is not None:
+        keep &= sizes <= max_bucket_size
+    offs, szs = bounds[:-1][keep], sizes[keep]
+    out_a, out_b = [], []
+    for m in np.unique(szs):
+        o = offs[szs == m]  # all buckets of this size, vectorized
+        ti, tj = np.triu_indices(int(m), k=1)
+        out_a.append((o[:, None] + ti[None, :]).ravel())
+        out_b.append((o[:, None] + tj[None, :]).ravel())
+    if not out_a:
+        e = np.empty(0, dtype=ids.dtype)
+        return e, e
+    ai = np.concatenate(out_a)
+    bi = np.concatenate(out_b)
+    return id_s[ai], id_s[bi]
+
+
+def _bucket_pairs_all_kernel(
+    keyed: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, cnt) partial co-occurrence counts from per-shingle
+    buckets — the kernel replacement for the groupBy/collect_list plan:
+    with ~1M mostly-size-1 buckets the JVM per-group array allocation
+    and nested-transform pair expansion dominate; here one repartition
+    co-locates each bucket, and a numpy kernel (np.lexsort + boundary
+    scan + per-size vectorized triangle expansion) emits partition-local
+    (pair, count) rows. Downstream sums partials per pair (buckets never
+    span partitions, pairs may)."""
+
+    def part_fn(pdfs):
+        from ..core import memtune  # noqa: F401
+
+        pdfs = list(pdfs)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        key = pdf[bucket_col].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        a, b = _pairs_by_size(key, ids, max_bucket_size)
+        if not len(a):
+            return
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        bnd = np.flatnonzero(np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]), True])
+        yield pd.DataFrame(
+            {
+                "doc_a": a_s[bnd[:-1]],
+                "doc_b": b_s[bnd[:-1]],
+                "cnt": np.diff(bnd).astype(np.int64),
+            }
+        )
+
+    return keyed.repartition(F.col(bucket_col)).mapInPandas(
+        part_fn, "doc_a long, doc_b long, cnt long"
+    )
+
+
+def _bucket_pairs_kernel(
+    keyed: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) via the same in-kernel
+    expansion; pairs are deduped within the partition (sort + boundary)
+    and globally (buckets of different partitions can emit the same
+    pair). Used where the caller only needs the candidate SET."""
+    counted = _bucket_pairs_all_kernel(keyed, bucket_col, id_col, max_bucket_size)
+    return counted.select("doc_a", "doc_b").distinct()
 
 
 def hot_bucket_stats(
@@ -253,48 +345,6 @@ def minhash_col(text_col, n_hashes: int = 128, shingle_n: int = 3, seed: int = 0
     return _mh(shingle_hashes_col(text_col, shingle_n))
 
 
-def _bucket_pairs(
-    keyed: DataFrame,
-    bucket_cols: list[str],
-    id_col: str,
-    max_bucket_size: int | None = None,
-) -> DataFrame:
-    """(bucket..., id) rows -> distinct candidate pairs (doc_a < doc_b).
-
-    ONE shuffle (groupBy bucket, collect sorted ids) + in-bucket pair
-    expansion with Catalyst array ops — instead of a self-join that
-    re-executes the whole upstream plan for both sides. Bucket pair
-    count is inherently quadratic in bucket size (same as the join);
-    web-scale inputs bound it by bucket design (band width / chunk bits)
-    and the stop-shingle-style caps upstream.
-
-    ``max_bucket_size`` is the hard ceiling for pathological buckets
-    (e.g. boilerplate-heavy corpora where one band bucket collects
-    millions of ids): buckets above the cap are DROPPED before pair
-    expansion, so no single task ever materializes more than
-    max_bucket_size^2 pairs. Recall trade mirrors ``max_shingle_df``:
-    pairs that co-occur ONLY in dropped buckets are missed. Use
-    ``hot_bucket_stats`` to size the cap."""
-    ids = F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                "ids",
-                lambda x: F.transform("ids", lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))),
-            )
-        ),
-        lambda p: p["doc_a"] < p["doc_b"],
-    )
-    agg = keyed.groupBy(*bucket_cols).agg(ids).where(F.size("ids") > 1)
-    if max_bucket_size is not None:
-        agg = agg.where(F.size("ids") <= max_bucket_size)
-    return (
-        agg.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
-
-
 def lsh_candidates(
     df: DataFrame,
     n_hashes: int = 128,
@@ -309,7 +359,7 @@ def lsh_candidates(
     n_hashes // bands; collision threshold s* ~ (1/bands)^(1/rows).
     Candidates come from bucket pair-generation (one aggregation), so
     the MinHash signatures are computed exactly once.
-    ``max_bucket_size`` caps pathological band buckets (_bucket_pairs)."""
+    ``max_bucket_size`` caps pathological band buckets (_bucket_pairs_all)."""
     rows = n_hashes // bands
     sig = df.select(F.col(id_col), minhash_col(text_col, n_hashes, shingle_n, seed).alias("sig"))
     banded = sig.select(
@@ -324,7 +374,15 @@ def lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    return _bucket_pairs(banded, ["band", "bh"], id_col, max_bucket_size=max_bucket_size)
+    # pack (band, bh) into one int64 bucket key for the kernel path:
+    # shiftleft drops bh's top 5 bits, so two buckets merge only when
+    # band matches AND bh agrees on its low 59 bits (~2^-59 per pair) —
+    # and a merge can only ADD a candidate, which exact verification
+    # downstream removes
+    packed = banded.select(
+        id_col, F.shiftleft(F.col("bh"), 5).bitwiseOR(F.col("band")).alias("bk")
+    )
+    return _bucket_pairs_kernel(packed, "bk", id_col, max_bucket_size=max_bucket_size)
 
 
 def near_dup_pairs_minhash(
@@ -441,7 +499,7 @@ def near_dup_pairs_simhash(
         raise ValueError("max_hamming must be in [0, 63]")
     if max_hamming == 0:
         sh0 = df.select(F.col(id_col), simhash_col(text_col).alias("sh"))
-        return _bucket_pairs(sh0, ["sh"], id_col).withColumn(
+        return _bucket_pairs_kernel(sh0, "sh", id_col).withColumn(
             "hamming", F.lit(0).cast("long")
         )
     n_chunks = max_hamming + 1

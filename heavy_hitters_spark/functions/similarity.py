@@ -233,15 +233,20 @@ def cosine_near_dup_pairs(
     One signature kernel pass computes every table's bucket id; pairs
     come from bucket pair-generation (groupBy (table, sig)), so the
     embeddings are scanned once, not 2*n_tables times."""
-    from .dedup import _bucket_pairs
+    from .dedup import _bucket_pairs_kernel
 
     dim = _dim_of(emb, vec_col)
     sigs = emb.select(
         F.col(id_col),
         F.posexplode(multitable_sig_col(vec_col, n_planes, dim, n_tables)).alias("tbl", "sig"),
     )
+    # exact (collision-free) pack: sig < 2^n_planes, so sig*n_tables+tbl
+    # is injective and fits a long for any sane n_planes/n_tables
+    packed = sigs.select(
+        id_col, (F.col("sig") * F.lit(n_tables) + F.col("tbl")).alias("bk")
+    )
     cand = (
-        _bucket_pairs(sigs, ["tbl", "sig"], id_col)
+        _bucket_pairs_kernel(packed, "bk", id_col)
         .withColumnRenamed("doc_a", "id_a")
         .withColumnRenamed("doc_b", "id_b")
     )

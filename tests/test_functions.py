@@ -548,3 +548,32 @@ def test_near_dup_groups_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         near_dup_groups(df, threshold=0.5, shingle_n=3, max_iters=1)
+
+
+def test_bucket_pair_kernel_matches_catalyst_reference(spark):
+    """The mapInPandas pair-expansion kernel must agree exactly with
+    the pure-Catalyst reference (same pairs, same co-occurrence
+    counts), with and without the bucket cap."""
+    from pyspark.sql import functions as SF
+
+    from heavy_hitters_spark.functions.dedup import (
+        _bucket_pairs_all,
+        _bucket_pairs_all_kernel,
+    )
+
+    g = np.random.default_rng(11)
+    rows = [(int(g.integers(0, 200)), int(i)) for i in range(3000)]
+    rows += [(777, 10_000 + j) for j in range(60)]  # one hot bucket
+    keyed = spark.createDataFrame(rows, "h long, doc_id long").distinct()
+    for cap in (None, 30):
+        ref = (
+            _bucket_pairs_all(keyed, "h", "doc_id", max_bucket_size=cap)
+            .groupBy("doc_a", "doc_b").agg(SF.count("*").alias("c")).collect()
+        )
+        got = (
+            _bucket_pairs_all_kernel(keyed, "h", "doc_id", max_bucket_size=cap)
+            .groupBy("doc_a", "doc_b").agg(SF.sum("cnt").alias("c")).collect()
+        )
+        assert {(r["doc_a"], r["doc_b"], r["c"]) for r in ref} == \
+               {(r["doc_a"], r["doc_b"], r["c"]) for r in got}
+        assert len(got) > 0
