@@ -261,3 +261,34 @@ def test_wire_pack_roundtrip():
     for blob in (raw, packed):
         got = unpack_state(blob)
         assert got.to_bytes() == raw  # identical state either way
+
+
+def test_unpack_state_rejects_garbage():
+    import pytest as _pytest
+
+    from heavy_hitters_spark.core.base import unpack_state
+
+    with _pytest.raises(ValueError):
+        unpack_state(b"NOPE" + b"\x00" * 16)
+
+
+def test_pairs_by_size_edges():
+    """Kernel pair expansion: empty input and all-singleton buckets
+    produce empty output; cap drops oversized buckets only."""
+    import numpy as np
+
+    from heavy_hitters_spark.functions.dedup import _pairs_by_size
+
+    e = np.empty(0, dtype=np.int64)
+    a, b = _pairs_by_size(e, e, None)
+    assert len(a) == 0 and len(b) == 0
+    # singletons only
+    a, b = _pairs_by_size(np.array([1, 2, 3]), np.array([10, 20, 30]), None)
+    assert len(a) == 0
+    # one pair bucket + one capped-out bucket
+    key = np.array([5, 5, 9, 9, 9, 9])
+    ids = np.array([2, 1, 7, 8, 9, 6])
+    a, b = _pairs_by_size(key, ids, max_bucket_size=3)
+    assert list(zip(a.tolist(), b.tolist())) == [(1, 2)]
+    a, b = _pairs_by_size(key, ids, max_bucket_size=None)
+    assert len(a) == 1 + 6  # pair + C(4,2)
