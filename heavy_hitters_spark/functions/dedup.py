@@ -413,14 +413,26 @@ def near_dup_pairs_minhash(
         F.col(id_col),
         F.array_distinct(shingle_hashes_col(text_col, shingle_n)).alias("sh_set"),
     )
-    joined = (
-        cand.join(doc_sh.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sa")), "doc_a")
-        .join(doc_sh.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sb")), "doc_b")
+    # single-scan verification: joining doc_sh once per pair side would
+    # execute the corpus-wide tokenize+hash subtree TWICE (broadcast
+    # joins don't reuse it); instead unpivot each pair into two
+    # (pair, role, doc) rows, join the shingle sets in ONE pass, and
+    # fold the two sides back per pair — only candidate docs' arrays
+    # (never the corpus) cross the groupBy shuffle
+    sides = cand.select(
+        "doc_a", "doc_b", F.col("doc_a").alias(id_col), F.lit(0).alias("role")
+    ).unionByName(
+        cand.select("doc_a", "doc_b", F.col("doc_b").alias(id_col), F.lit(1).alias("role"))
+    )
+    matched = doc_sh.join(F.broadcast(sides), id_col)
+    folded = matched.groupBy("doc_a", "doc_b").agg(
+        F.first(F.when(F.col("role") == 0, F.col("sh_set")), ignorenulls=True).alias("sa"),
+        F.first(F.when(F.col("role") == 1, F.col("sh_set")), ignorenulls=True).alias("sb"),
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     jac = inter / (F.size("sa") + F.size("sb") - inter)
     return (
-        joined.withColumn("jaccard", jac)
+        folded.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
