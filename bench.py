@@ -308,17 +308,24 @@ def build_run_subprocess(master: str, with_phases: bool = False, n_timed: int = 
         "bench.build_run(%r, with_phases=%r, n_timed=%r)))"
         % (master, with_phases, n_timed)
     )
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True,
-        text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-        timeout=1200,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("BENCHJSON:"):
-            return json.loads(line[len("BENCHJSON:"):])
-    raise RuntimeError(f"bench subprocess failed: {out.stderr[-2000:]}")
+    last_err = ""
+    for _attempt in range(2):  # one retry: a transient host stall or OOM
+        try:                   # must not abort the whole official run
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=1200,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = "timeout"
+            continue
+        for line in out.stdout.splitlines():
+            if line.startswith("BENCHJSON:"):
+                return json.loads(line[len("BENCHJSON:"):])
+        last_err = out.stderr[-2000:]
+    raise RuntimeError(f"bench subprocess failed twice: {last_err}")
 
 
 def main() -> None:
@@ -358,7 +365,14 @@ def main() -> None:
         calibs = [rlo_a["calib_sec"], rhi["calib_sec"], rlo_b["calib_sec"]]
         return (rhi, rlo, rhi["docs_per_sec"] / (4.0 * rlo["docs_per_sec"]), calibs)
 
-    rounds = [run_round(i == n_rounds - 1) for i in range(n_rounds)]
+    rounds = []
+    for i in range(n_rounds):
+        try:
+            rounds.append(run_round(i == n_rounds - 1))
+        except RuntimeError as e:  # a dead round must not kill the record
+            print(f"# round {i} failed: {e}", file=sys.stderr)
+    if not rounds:
+        raise RuntimeError("all bench rounds failed")
 
     def valid_mask():
         allc = sorted(c for _, _, _, cs in rounds for c in cs)
@@ -369,8 +383,11 @@ def main() -> None:
     # reads the PRE-SPARK host probes, never the measured walls
     extra = 0
     while sum(valid_mask()) < n_rounds and extra < 3:
-        rounds.append(run_round(False))
         extra += 1
+        try:
+            rounds.append(run_round(False))
+        except RuntimeError as e:
+            print(f"# extra round failed: {e}", file=sys.stderr)
     mask = valid_mask()
     valid = [r for r, ok in zip(rounds, mask) if ok]
     used = valid if len(valid) >= 3 else rounds
