@@ -191,7 +191,10 @@ def _pairs_by_size(key: np.ndarray, ids: np.ndarray, max_bucket_size: int | None
     find bucket boundaries, then expand i<j index pairs for ALL buckets
     of each distinct size at once (offsets[:, None] + triu template) —
     no per-bucket Python loop, no per-group array allocation. Returns
-    (doc_a, doc_b) with doc_a < doc_b (id order within bucket)."""
+    (doc_a, doc_b) with doc_a < doc_b STRICTLY: a final mask drops the
+    self-pairs that duplicate (bucket, id) input rows would otherwise
+    produce from positional i<j expansion, matching the Catalyst
+    reference (_bucket_pairs_all) contract for any caller."""
     order = np.lexsort((ids, key))
     k_s, id_s = key[order], ids[order]
     bounds = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1], True])
@@ -211,7 +214,13 @@ def _pairs_by_size(key: np.ndarray, ids: np.ndarray, max_bucket_size: int | None
         return e, e
     ai = np.concatenate(out_a)
     bi = np.concatenate(out_b)
-    return id_s[ai], id_s[bi]
+    a_vals, b_vals = id_s[ai], id_s[bi]
+    # ids ascend within a bucket, so positional i<j gives a_vals <=
+    # b_vals; equality happens exactly for duplicated (bucket, id) rows
+    strict = a_vals < b_vals
+    if not strict.all():
+        a_vals, b_vals = a_vals[strict], b_vals[strict]
+    return a_vals, b_vals
 
 
 def _bucket_pairs_all_kernel(
@@ -374,13 +383,17 @@ def lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    # pack (band, bh) into one int64 bucket key for the kernel path:
-    # shiftleft drops bh's top 5 bits, so two buckets merge only when
-    # band matches AND bh agrees on its low 59 bits (~2^-59 per pair) —
-    # and a merge can only ADD a candidate, which exact verification
+    # pack (band, bh) into one int64 bucket key for the kernel path.
+    # shift = ceil(log2(bands)) keeps the pack INJECTIVE in band for ANY
+    # bands value (a fixed 5-bit shift silently merged unrelated
+    # (band, bh) buckets for bands > 32); shiftleft drops bh's top
+    # `shift` bits, so two buckets merge only when band matches AND bh
+    # agrees on its low (64-shift) bits (~2^-(64-shift) per pair) — and
+    # a merge can only ADD a candidate, which exact verification
     # downstream removes
+    shift = max(1, (bands - 1).bit_length())
     packed = banded.select(
-        id_col, F.shiftleft(F.col("bh"), 5).bitwiseOR(F.col("band")).alias("bk")
+        id_col, F.shiftleft(F.col("bh"), shift).bitwiseOR(F.col("band")).alias("bk")
     )
     return _bucket_pairs_kernel(packed, "bk", id_col, max_bucket_size=max_bucket_size)
 
@@ -424,7 +437,15 @@ def near_dup_pairs_minhash(
     ).unionByName(
         cand.select("doc_a", "doc_b", F.col("doc_b").alias(id_col), F.lit(1).alias("role"))
     )
-    matched = doc_sh.join(F.broadcast(sides), id_col)
+    # NO broadcast hint: the candidate set is unbounded (quadratic in
+    # near-dup density — O(corpus) on boilerplate-heavy web data), so a
+    # forced broadcast is a driver/executor OOM at scale. AQE converts
+    # the join to broadcast at runtime when the observed size of
+    # ``sides`` is under the adaptive broadcast threshold (the common
+    # case), and degrades to a shuffled join otherwise — either way the
+    # corpus-side tokenize+hash subtree executes exactly once
+    # (plan-asserted in tests/test_skew_and_plans.py).
+    matched = doc_sh.join(sides, id_col)
     folded = matched.groupBy("doc_a", "doc_b").agg(
         F.first(F.when(F.col("role") == 0, F.col("sh_set")), ignorenulls=True).alias("sa"),
         F.first(F.when(F.col("role") == 1, F.col("sh_set")), ignorenulls=True).alias("sb"),

@@ -256,19 +256,15 @@ def l2_norm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 
-def _exact_quantiles_windowed(
+def _certify_windows(
     vals: DataFrame, qs: list[float], windows: list[tuple[int, int]]
-) -> list[int]:
-    """Exact q-quantiles of an integer column ``v`` given per-q value
-    windows from a sketch. The windows only PRUNE: an exact certificate
-    (count below window < target rank <= count through window) is
-    checked per q, with a full exact fallback when it fails — so the
-    result never depends on the sketch's accuracy.
-
-    Scale shape: ONE conditional-aggregate scan for the below-window
-    counts + ONE filtered groupBy over the union of (narrow) windows;
-    both Catalyst with pushed range predicates."""
-    n_total = None
+) -> tuple[list[int | None], int]:
+    """One certification pass: per-q answer where the window's exact
+    certificate holds (count below window < target rank <= count
+    through window), None where it fails. ONE conditional-aggregate
+    scan for the below-window counts + ONE filtered groupBy over the
+    union of (narrow) windows; both Catalyst with pushed range
+    predicates."""
     below_aggs = [
         F.sum(F.when(F.col("v") < int(lo), 1).otherwise(0)).alias(f"b{i}")
         for i, (lo, _) in enumerate(windows)
@@ -282,8 +278,7 @@ def _exact_quantiles_windowed(
     in_win = (
         vals.where(cond).groupBy("v").agg(F.count("*").alias("c")).orderBy("v").collect()
     )
-    full = None  # lazy exact fallback: all distinct values + counts
-    out: list[int] = []
+    out: list[int | None] = []
     for i, (q, (lo, hi)) in enumerate(zip(qs, windows)):
         r = max(1, math.ceil(q * n_total))  # 1-based target rank
         cum = int(below_row[f"b{i}"])
@@ -295,17 +290,80 @@ def _exact_quantiles_windowed(
                     if cum >= r:
                         ans = int(row["v"])
                         break
-        if ans is None:
-            # certificate failed: window missed the true quantile
-            if full is None:
-                full = vals.groupBy("v").agg(F.count("*").alias("c")).orderBy("v").collect()
-            cum = 0
-            for row in full:
-                cum += row["c"]
-                if cum >= r:
-                    ans = int(row["v"])
-                    break
         out.append(ans)
+    return out, n_total
+
+
+def _bisect_ranks(vals: DataFrame, ranks: list[int]) -> list[int]:
+    """Exact value-at-rank via distributed bisection: each round issues
+    ONE conditional-aggregate scan computing count(v <= mid) for every
+    unresolved rank. Driver state is O(#ranks) counters — never a
+    distinct-value collect — so this terminal fallback stays bounded on
+    arbitrary (even adversarial) value distributions. Rounds <=
+    log2(value range)."""
+    row = vals.agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx"), F.count("*").alias("n")
+    ).collect()[0]
+    mn, mx = int(row["mn"]), int(row["mx"])
+    # invariant per rank r: count(v <= lo) < r <= count(v <= hi)
+    los = [mn - 1] * len(ranks)
+    his = [mx] * len(ranks)
+    while True:
+        open_idx = [i for i in range(len(ranks)) if los[i] + 1 < his[i]]
+        if not open_idx:
+            break
+        mids = {i: (los[i] + his[i]) // 2 for i in open_idx}
+        aggs = [
+            F.sum(F.when(F.col("v") <= int(m), 1).otherwise(0)).alias(f"c{i}")
+            for i, m in mids.items()
+        ]
+        crow = vals.agg(*aggs).collect()[0]
+        for i, m in mids.items():
+            if int(crow[f"c{i}"]) >= ranks[i]:
+                his[i] = m
+            else:
+                los[i] = m
+    return his
+
+
+def _exact_quantiles_windowed(
+    vals: DataFrame,
+    qs: list[float],
+    windows: list[tuple[int, int]],
+    rewindow=None,
+    max_rewindows: int = 4,
+) -> list[int]:
+    """Exact q-quantiles of an integer column ``v`` given per-q value
+    windows from a sketch. The windows only PRUNE — the result never
+    depends on the sketch's accuracy. Bounded fallback chain:
+
+    1. certify + resolve inside the given windows (the normal path);
+    2. on any failed certificate, ``rewindow(attempt)`` proposes wider
+       windows (the callers double the sketch pad) — up to
+       ``max_rewindows`` rounds, certified each time;
+    3. still-unresolved quantiles fall through to ``_bisect_ranks``:
+       one conditional agg per round, O(#qs) driver state.
+
+    Nothing on this path ever collects the full distinct-value set (the
+    previous fallback's unbounded driver materialization — a 100x OOM
+    on high-cardinality grids)."""
+    out, n_total = _certify_windows(vals, qs, windows)
+    attempt = 0
+    while any(a is None for a in out) and rewindow is not None and attempt < max_rewindows:
+        attempt += 1
+        wider = rewindow(attempt)
+        redo = [i for i, a in enumerate(out) if a is None]
+        sub, _ = _certify_windows(
+            vals, [qs[i] for i in redo], [wider[i] for i in redo]
+        )
+        for i, a in zip(redo, sub):
+            out[i] = a
+    missing = [i for i, a in enumerate(out) if a is None]
+    if missing:
+        ranks = [max(1, math.ceil(qs[i] * n_total)) for i in missing]
+        resolved = _bisect_ranks(vals, ranks)
+        for i, v in zip(missing, resolved):
+            out[i] = v
     return out
 
 
@@ -325,12 +383,19 @@ def quantiles_events_value_exact(
     qs = qs or [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     vals = _events_value_grid(spark, sf_dir)
     kll, _ = build_sketch(vals, KLL(k=256), id_col="v")
-    windows = []
-    for q in qs:
-        lo = kll.quantile(max(0.0, q - pad))[0]
-        hi = kll.quantile(min(1.0, q + pad))[0]
-        windows.append((int(math.floor(lo)) - 1, int(math.ceil(hi)) + 1))
-    exact = _exact_quantiles_windowed(vals, qs, windows)
+
+    def make_windows(p: float) -> list[tuple[int, int]]:
+        out = []
+        for q in qs:
+            lo = kll.quantile(max(0.0, q - p))[0]
+            hi = kll.quantile(min(1.0, q + p))[0]
+            out.append((int(math.floor(lo)) - 1, int(math.ceil(hi)) + 1))
+        return out
+
+    exact = _exact_quantiles_windowed(
+        vals, qs, make_windows(pad),
+        rewindow=lambda attempt: make_windows(pad * (2 ** attempt)),
+    )
     return spark.createDataFrame(
         [(float(q), round(v / 100.0, 6)) for q, v in zip(qs, exact)],
         "q double, value_est double",
@@ -348,12 +413,19 @@ def quantiles_events_value_exact_tdigest(
     qs = qs or [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     vals = _events_value_grid(spark, sf_dir)
     td, _ = build_sketch(vals, TDigest(200), id_col="v")
-    windows = []
-    for q in qs:
-        lo = td.quantile(max(0.0, q - pad))[0]
-        hi = td.quantile(min(1.0, q + pad))[0]
-        windows.append((int(math.floor(lo)) - 1, int(math.ceil(hi)) + 1))
-    exact = _exact_quantiles_windowed(vals, qs, windows)
+
+    def make_windows(p: float) -> list[tuple[int, int]]:
+        out = []
+        for q in qs:
+            lo = td.quantile(max(0.0, q - p))[0]
+            hi = td.quantile(min(1.0, q + p))[0]
+            out.append((int(math.floor(lo)) - 1, int(math.ceil(hi)) + 1))
+        return out
+
+    exact = _exact_quantiles_windowed(
+        vals, qs, make_windows(pad),
+        rewindow=lambda attempt: make_windows(pad * (2 ** attempt)),
+    )
     return spark.createDataFrame(
         [(float(q), round(v / 100.0, 6)) for q, v in zip(qs, exact)],
         "q double, value_est double",

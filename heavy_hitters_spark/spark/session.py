@@ -22,6 +22,14 @@ def get_spark(
     shuffle_partitions: int | None = None,
     arrow_batch: int = 8192,  # small batches keep worker temps cache-resident
 ) -> SparkSession:
+    """Build (or get) the session.
+
+    NOTE: ``getOrCreate`` only applies JVM-launch options (the GC flags
+    below, driver memory) when THIS call actually starts the JVM. If any
+    SparkSession already exists in the process, those flags are silently
+    ignored and the benchmarked configuration depends on call order —
+    the bench runs every measured configuration in a FRESH subprocess
+    for exactly this reason (bench.py build_run_subprocess)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     n_threads = int(master.split("[")[1].rstrip("]")) if "[" in master else 32
@@ -40,8 +48,15 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
         # throughput collector: Arrow serialization allocates heavily and
-        # G1's pause pattern penalizes many concurrent local task threads
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # G1's pause pattern penalizes many concurrent local task threads.
+        # SPARK_GRAFT_JAVA_OPTS appends extra flags (A/B tuning in fresh
+        # subprocesses — JVM options only apply when THIS call launches
+        # the JVM; getOrCreate on an existing session ignores them, see
+        # docstring)
+        .config(
+            "spark.driver.extraJavaOptions",
+            ("-XX:+UseParallelGC " + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")).strip(),
+        )
         # serve cached input without per-read lz4 decode: the decompress
         # runs on the JVM task threads CONCURRENTLY with the Python
         # kernels and was measured as the dominant cross-side contention

@@ -577,3 +577,36 @@ def test_bucket_pair_kernel_matches_catalyst_reference(spark):
         assert {(r["doc_a"], r["doc_b"], r["c"]) for r in ref} == \
                {(r["doc_a"], r["doc_b"], r["c"]) for r in got}
         assert len(got) > 0
+
+
+def test_pairs_by_size_drops_self_pairs_on_duplicate_rows():
+    """Duplicate (bucket, id) input rows must not produce doc_a ==
+    doc_b self-pairs: the kernel's contract is STRICT doc_a < doc_b,
+    matching the Catalyst reference (_bucket_pairs_all)."""
+    from heavy_hitters_spark.functions.dedup import _pairs_by_size
+
+    key = np.array([1, 1, 1, 2, 2], dtype=np.int64)
+    ids = np.array([10, 10, 11, 7, 7], dtype=np.int64)  # dup (1,10), (2,7)
+    a, b = _pairs_by_size(key, ids, None)
+    assert (a < b).all()
+    # bucket 1 still yields the real pair twice? no — (10,10) dropped,
+    # (10,11) kept twice (two positional combinations with the dup row)
+    assert set(zip(a.tolist(), b.tolist())) == {(10, 11)}
+    # bucket 2 was only the duplicated id -> nothing survives
+    assert len(a) == 2
+
+
+def test_lsh_band_pack_injective_for_many_bands(spark):
+    """bands > 32 overflowed the old fixed 5-bit band pack, merging
+    unrelated (band, bh) buckets. The dynamic shift keeps the pack
+    injective: two docs with DISJOINT shingle sets must produce no
+    candidate pair even at bands=64 (their band hashes only collide
+    with probability ~2^-58)."""
+    from heavy_hitters_spark.functions.dedup import lsh_candidates
+
+    rows = [(1, "aa bb cc dd ee ff gg hh"), (2, "zz yy xx ww vv uu tt ss"),
+            (3, "aa bb cc dd ee ff gg hh")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = lsh_candidates(df, n_hashes=128, bands=64, shingle_n=3)
+    got = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert got == {(1, 3)}

@@ -151,3 +151,60 @@ def test_mg_exact_topk_certificate_on_ties(spark):
         df.groupBy("token").count().orderBy(F.desc("count"), F.asc("token")).limit(5).collect()
     )
     assert [(r["token"], r["freq"]) for r in got] == [(r["token"], r["count"]) for r in exact]
+
+
+def test_windowed_quantiles_bounded_fallback_adversarial(spark):
+    """Certificate-failure path must stay BOUNDED: with windows that
+    completely miss every true quantile (sketch arbitrarily wrong) and
+    no rewindow, resolution goes through _bisect_ranks — O(#qs) driver
+    counters per round, never a full distinct-value collect — and still
+    returns the exact answers."""
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    from heavy_hitters_spark.queries import _bisect_ranks, _exact_quantiles_windowed
+
+    vals = spark.range(1, 1001).select((F.col("id") * 7).alias("v"))  # 7..7000
+    qs = [0.1, 0.5, 0.99]
+    # windows entirely below and entirely above the data
+    bad = [(-100, -90), (10**9, 10**9 + 1), (-5, -1)]
+    got = _exact_quantiles_windowed(vals, qs, bad, rewindow=None)
+    exact = [7 * max(1, m.ceil(q * 1000)) for q in qs]
+    assert got == exact
+    # _bisect_ranks directly: exact value-at-rank on its own
+    assert _bisect_ranks(vals, [1, 500, 1000]) == [7, 3500, 7000]
+
+
+def test_windowed_quantiles_rewindow_recovers(spark):
+    """A too-tiny pad that misses some quantiles must recover through
+    the doubled-pad rewindow rounds (still certified), without hitting
+    bisection."""
+    from pyspark.sql import functions as F
+
+    from heavy_hitters_spark.queries import _exact_quantiles_windowed
+
+    vals = spark.range(1, 1001).select(F.col("id").alias("v"))
+    qs = [0.25, 0.75]
+    calls = []
+
+    def rewindow(attempt):
+        calls.append(attempt)
+        w = 10 * (2 ** attempt)
+        return [(250 - w, 250 + w), (750 - w, 750 + w)]
+
+    # initial windows deliberately offset so the certificate fails
+    got = _exact_quantiles_windowed(vals, qs, [(100, 110), (900, 910)], rewindow=rewindow)
+    assert got == [250, 750]
+    assert calls  # the rewindow path actually ran
+
+
+def test_quantiles_exact_with_zero_pad_still_exact(spark):
+    """pad=0 gives the narrowest possible sketch windows; the
+    certificate + rewindow chain must still produce the exact answer
+    (oracle semantics: quantile_disc)."""
+    from heavy_hitters_spark.queries import quantiles_events_value_exact
+
+    a = {r["q"]: r["value_est"] for r in quantiles_events_value_exact(spark, SF, pad=0.0).collect()}
+    b = {r["q"]: r["value_est"] for r in quantiles_events_value_exact(spark, SF, pad=0.05).collect()}
+    assert a == b

@@ -121,3 +121,21 @@ def test_minhash_verify_has_no_shingle_self_join(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(near_dup_pairs_minhash(docs, threshold=0.5))
     assert "SortMergeJoin [shingle" not in plan and "ShuffledHashJoin [shingle" not in plan
+
+
+def test_minhash_verify_single_corpus_subtree_no_forced_broadcast(spark):
+    """The verify join must (a) not force-broadcast the candidate-pair
+    side (unbounded at web scale — AQE picks the strategy at runtime)
+    and (b) keep exactly ONE corpus-side shingle-set subtree
+    (array_distinct over the hashed shingles appears once): the unpivot
+    shape executes the corpus tokenize+hash exactly once regardless of
+    join strategy."""
+    from heavy_hitters_spark.functions.dedup import near_dup_pairs_minhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = near_dup_pairs_minhash(docs, threshold=0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("array_distinct") == 1
+    # the logical plan must carry no user ResolvedHint on the join
+    assert "UnresolvedHint" not in df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in df._jdf.queryExecution().optimizedPlan().toString()
