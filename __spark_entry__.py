@@ -484,6 +484,115 @@ def _q_phi_heavy_users_const(spark, sf):
     )
 
 
+def _q_phi_heavy_users_cs(spark, sf):
+    """TURNSTILE hierarchical phi-HH end-to-end: the signed +1/−1 event
+    stream (insert per non-error, delete per error) through
+    ``DyadicHH(sketch_type='count_sketch')`` — the reference's
+    ``hh_median_sketch`` analog (sketch.c:47-70 hierarchy over
+    count_median.c:81-100 signed counters, with the CS threshold policy
+    ``th − ε·L1``, count_median.h:46-49) — then exact net-frequency
+    verification of the candidates. Deterministic: candidates only
+    prune; the filter is the exact net count."""
+    from heavy_hitters_spark.core import SeedStream
+    from heavy_hitters_spark.hh import DyadicHH
+    from heavy_hitters_spark.spark import build_sketch
+    from heavy_hitters_spark.spark.keys import MASK32
+
+    phi = 0.005
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("user_id"),
+        F.col("user_id").bitwiseAND(F.lit(MASK32)).alias("id"),
+        F.when(F.col("event_type") == "error", F.lit(-1))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("w"),
+    )
+    hh = DyadicHH(
+        phi=phi, epsilon=phi / 2, delta=0.05, m=MASK32, gran=8,
+        sketch_type="count_sketch", seed_stream=SeedStream(1234, 5678),
+    )
+    merged, _ = build_sketch(ev, hh, id_col="id", weight_col="w")
+    cand = [int(i) for i, _ in merged.query()]
+    if not cand:
+        return spark.createDataFrame([], "user_id long, net_freq long")
+    cand_df = spark.createDataFrame([(c,) for c in cand], "id long")
+    total = merged.norm  # exact net L1 (linear, tracked through merges)
+    return (
+        ev.join(F.broadcast(cand_df), "id")
+        .groupBy("user_id")
+        .agg(F.sum("w").alias("net_freq"))
+        .where(F.col("net_freq") >= phi * total)
+        .orderBy(F.asc("user_id"))
+    )
+
+
+def _q_phi_heavy_users_binary(spark, sf):
+    """Same phi-HH question through the BINARY hierarchy
+    (``DyadicHH(gran=1)`` — the reference's ``hh_sketch``,
+    sketch.c:47-70, one bit per level) + exact verification; same
+    oracle as phi_heavy_users. Closes the last reference HH variant
+    without a gated driver query (gran=8 ktree, const-sketch, and the
+    CS hierarchy are gated elsewhere)."""
+    from heavy_hitters_spark.core import SeedStream
+    from heavy_hitters_spark.hh import DyadicHH
+    from heavy_hitters_spark.spark import build_sketch
+    from heavy_hitters_spark.spark.keys import MASK32
+
+    phi = 0.005
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "id", F.col("user_id").bitwiseAND(F.lit(MASK32))
+    )
+    hh = DyadicHH(
+        phi=phi, epsilon=phi / 2, delta=0.05, m=MASK32, gran=1,
+        seed_stream=SeedStream(1234, 5678),
+    )
+    merged, _ = build_sketch(ev, hh, id_col="id")
+    cand = [int(i) for i, _ in merged.query()]
+    if not cand:
+        return spark.createDataFrame([], "user_id long, freq long")
+    cand_df = spark.createDataFrame([(c,) for c in cand], "id long")
+    return (
+        ev.join(F.broadcast(cand_df), "id")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= phi * merged.norm)
+        .orderBy(F.asc("user_id"))
+    )
+
+
+def _q_doc_fingerprints_planted(spark, sf):
+    """Oracle-gated fingerprint variant (same recipe as
+    simhash_pairs_planted): plant TWO identical-text copies of docs
+    0..24 (ids +10^7 and +2·10^7), fingerprint the planted set, return
+    pairs with EQUAL fingerprints. Identical text ⇒ identical rolling
+    hash, and the order-sensitivity of the polynomial means distinct
+    texts collide only with probability ~2^-64 — so the equality
+    structure is exactly the DuckDB text-equality self-join. (The hash
+    VALUES can't be recomputed in SQL; the structure can. The
+    unrestricted doc_fingerprints stays rows-only.)"""
+    from heavy_hitters_spark.functions.text import fingerprint_col
+
+    base = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .where(F.col("doc_id") < 25)
+        .select("doc_id", "text")
+    )
+    planted = base.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    ).unionByName(
+        base.select((F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"), "text")
+    )
+    fp = planted.select("doc_id", fingerprint_col("text").alias("fp"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _q_eval_hh_precision(spark, sf):
     """The reference's precision_hh harness run over the hybrid
     phi-heavy-hitter output. The hybrid provably has recall 1.0 /
@@ -557,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phi_heavy_tokens": _q_phi_heavy_tokens,
         "phi_heavy_users": _q_phi_heavy_users,
         "phi_heavy_users_const": _q_phi_heavy_users_const,
+        "phi_heavy_users_cs": _q_phi_heavy_users_cs,
+        "phi_heavy_users_binary": _q_phi_heavy_users_binary,
         "topk_event_types": _q_topk_event_types,
         "topk_urls": _q_topk_urls,
         "topk_hosts": _q_topk_hosts,
@@ -600,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "cosine_near_dups": _q_cosine_near_dups,
         "doc_fingerprints": _q_doc_fingerprints,
+        "doc_fingerprints_planted": _q_doc_fingerprints_planted,
         "media_features": _q_media_features,
     }
 
@@ -636,6 +748,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS freq FROM events, tot
             GROUP BY user_id, tot.n HAVING count(*) >= 0.005 * tot.n
             ORDER BY user_id ASC
+        """,
+        "phi_heavy_users_cs": """
+            WITH net AS (SELECT user_id,
+                                CAST(sum(CASE WHEN event_type = 'error'
+                                              THEN -1 ELSE 1 END) AS BIGINT) AS net
+                         FROM events GROUP BY user_id),
+            tot AS (SELECT sum(net) AS n FROM net)
+            SELECT user_id, net AS net_freq FROM net, tot
+            WHERE net >= 0.005 * tot.n
+            ORDER BY user_id ASC
+        """,
+        "phi_heavy_users_binary": """
+            WITH tot AS (SELECT count(*) AS n FROM events)
+            SELECT user_id, count(*) AS freq FROM events, tot
+            GROUP BY user_id, tot.n HAVING count(*) >= 0.005 * tot.n
+            ORDER BY user_id ASC
+        """,
+        "doc_fingerprints_planted": """
+            WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
+            planted AS (SELECT doc_id + 10000000 AS doc_id, text FROM b
+                        UNION ALL
+                        SELECT doc_id + 20000000 AS doc_id, text FROM b)
+            SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+            FROM planted a JOIN planted c
+              ON a.doc_id < c.doc_id AND a.text = c.text
+            ORDER BY doc_a, doc_b
         """,
         "topk_event_types": """
             SELECT event_type, count(*) AS freq FROM events

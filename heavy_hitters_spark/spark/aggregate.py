@@ -225,20 +225,35 @@ def tree_merge(partials: DataFrame, fanin: int = 16, n_hint: int | None = None) 
     rows = cur.collect()
     if not rows:
         raise ValueError("no partial states (empty input?)")
-    acc = unpack_state(rows[0]["state"])
+    acc = _driver_fold([r["state"] for r in rows])
     metrics = {
-        "n_rows": rows[0]["n_rows"],
-        "n_updates": rows[0]["n_updates"],
-        "wall_ms": rows[0]["wall_ms"],
-        "n_partials": 1,
+        "n_rows": sum(r["n_rows"] for r in rows),
+        "n_updates": sum(r["n_updates"] for r in rows),
+        "wall_ms": sum(r["wall_ms"] for r in rows),
+        "n_partials": len(rows),
     }
-    for r in rows[1:]:
-        acc = acc.merge(unpack_state(r["state"]))
-        metrics["n_rows"] += r["n_rows"]
-        metrics["n_updates"] += r["n_updates"]
-        metrics["wall_ms"] += r["wall_ms"]
-        metrics["n_partials"] += 1
     return acc, metrics
+
+
+def _driver_fold(blobs: list) -> Sketch:
+    """Driver-side fold of <= fanin collected states as a THREADED
+    pairwise tree: zlib unpack and the numpy merge kernels both release
+    the GIL, so the fold overlaps across cores instead of running as
+    ~200 ms of serial per-job time (a pure Amdahl term in the N-vs-4N
+    scaling ratio). The tree shape is deterministic (adjacent pairs in
+    collect order), staying inside the documented merge-order
+    invariance classes like the distributed rounds above."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(blobs) == 1:
+        return unpack_state(blobs[0])
+    with ThreadPoolExecutor(max_workers=min(8, len(blobs))) as ex:
+        sks = list(ex.map(unpack_state, blobs))
+        while len(sks) > 1:
+            pairs = [(sks[i], sks[i + 1]) for i in range(0, len(sks) - 1, 2)]
+            rest = [sks[-1]] if len(sks) % 2 else []
+            sks = list(ex.map(lambda p: p[0].merge(p[1]), pairs)) + rest
+    return sks[0]
 
 
 def build_sketch(
