@@ -43,6 +43,26 @@ job definition identical to round 2 so walls stay comparable):
   - query walls: one warm-up run, report the second (steady-state) run
   - target: scaling_efficiency_n_to_4n >= 0.8 (BASELINE.json)
 
+Round-4 engine changes (the measured job — tokenize + hash + 6-sketch
+update + merge over the same 200k pages — and the round protocol are
+unchanged): (1) the driver-side fold of collected partials is a
+threaded pairwise tree (spark/aggregate.py:_driver_fold — ~200 ms of
+per-job serial Amdahl term removed at BOTH levels); (2) the JVM runs
+with ParallelGCThreads=8 (session.py — the ~23-thread default
+oversubscribed the box in GC bursts, stalling Python workers
+mid-kernel mainly at the high level). A third candidate —
+BENCH_INPUT=blob, caching the input as pre-materialized Arrow IPC
+blobs (fused.pack_arrow_blobs, bit-identical sketches, parity test in
+tests/test_fused.py) to remove the per-pass columnar->Arrow serving
+conversion — measured INCONCLUSIVE-to-worse in interleaved A/B (one
+clean-phase round 6.0-7.1 s hi walls vs 4.2 s text; suspicion: the
+multi-MB per-task Arrow buffers hit this sandbox's ~10 MB/s
+first-touch page faults through pyarrow's own allocator, which the
+glibc mallopt fix does not cover), so the measured default stays
+BENCH_INPUT=text. BENCH_ARROW_BATCH overrides the Arrow batch size for
+A/B only; the measured default stays 2048 (8192 measured WORSE at both
+levels: worker temps fall out of cache).
+
 Also times each driver-gated query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) and emits ONE JSON line:
   {"metric": ..., "value": <total suite sec>, "unit": "sec",
@@ -152,14 +172,25 @@ def build_run(master: str, with_phases: bool = True, n_timed: int = 4) -> dict:
     from heavy_hitters_spark.spark.fused import build_token_sketch
 
     calib = host_calibration()
-    spark = get_spark(master, app=f"bench-{master}", arrow_batch=2048)
+    arrow_batch = int(os.environ.get("BENCH_ARROW_BATCH", "2048"))
+    spark = get_spark(master, app=f"bench-{master}", arrow_batch=arrow_batch)
     spark.sparkContext.setLogLevel("ERROR")
     # cache the input in executor storage: the host VM reclaims page
     # cache (no swap -> only file-backed pages are evictable), so
     # re-reading parquet from the slow virtio disk mid-run would measure
-    # the disk, not the engine; anonymous JVM heap is unevictable here
-    pages = spark.read.parquet(PAGES_DIR).select("text").repartition(BENCH_PARTS).cache()
-    n_docs = pages.count()
+    # the disk, not the engine; anonymous JVM heap is unevictable here.
+    # BENCH_INPUT=blob (A/B only; default text — see module docstring):
+    # cache PRE-MATERIALIZED Arrow IPC blobs (fused.pack_arrow_blobs,
+    # partition-preserving) so a timed pass ships ~7 opaque binary rows
+    # per partition instead of re-running the per-row columnar->Arrow
+    # conversion. Measured inconclusive-to-worse on this host.
+    from heavy_hitters_spark.spark.fused import pack_arrow_blobs
+
+    input_mode = os.environ.get("BENCH_INPUT", "text")
+    base = spark.read.parquet(PAGES_DIR).select("text").repartition(BENCH_PARTS)
+    blob_col = "blob" if input_mode == "blob" else None
+    pages = (pack_arrow_blobs(base, ["text"]) if blob_col else base).cache()
+    pages.count()  # materialize the executor cache (untimed)
     # steady-state measurement: full untimed warm-up pass (JIT + heap
     # first-touch — this sandbox's cold page faults are ~100x slower
     # than reuse), then n_timed passes; this process's wall is their MIN
@@ -169,16 +200,19 @@ def build_run(master: str, with_phases: bool = True, n_timed: int = 4) -> dict:
     # fanin=64: all per-partition states fold on the driver (collect is
     # ~0.25 s for 32 x ~2 MB states; a distributed merge round costs a
     # full extra Spark job — measured 7.4 s -> 5.8 s per build)
-    build_token_sketch(pages, _tmpl(), text_col="text", fanin=64, n_hint=BENCH_PARTS)
+    _, m0 = build_token_sketch(
+        pages, _tmpl(), text_col="text", fanin=64, n_hint=BENCH_PARTS, blob_col=blob_col
+    )
+    n_docs = m0["n_rows"]
     walls = []
     for _ in range(n_timed):
         t0 = time.perf_counter()
         sk, metrics = build_token_sketch(
-            pages, _tmpl(), text_col="text", fanin=64, n_hint=BENCH_PARTS
+            pages, _tmpl(), text_col="text", fanin=64, n_hint=BENCH_PARTS, blob_col=blob_col
         )
         walls.append(time.perf_counter() - t0)
     wall = min(walls)
-    phases = phase_split(pages, n_docs) if with_phases else None
+    phases = phase_split(pages, n_docs, blob_col=blob_col) if with_phases else None
     spark.stop()
     return {
         "master": master,
@@ -194,7 +228,7 @@ def build_run(master: str, with_phases: bool = True, n_timed: int = 4) -> dict:
     }
 
 
-def phase_split(pages, n_docs: int) -> dict:
+def phase_split(pages, n_docs: int, blob_col: str | None = None) -> dict:
     """Per-phase timing split (the reference times create/update/query
     separately — src/benchmark_hh.c:329-466; we add merge, which has no
     single-node analog): create = template construction+serde; update =
@@ -220,7 +254,9 @@ def phase_split(pages, n_docs: int) -> dict:
     # under host memory pressure silently turns the merge timing into a
     # full recompute of the update phase)
     tmp = tempfile.mkdtemp(prefix="bench_partials_")
-    partials = pages.select("text").mapInArrow(_fused_fn(tb, "text"), PARTIAL_SCHEMA)
+    partials = pages.select(blob_col or "text").mapInArrow(
+        _fused_fn(tb, "text", blob_col=blob_col), PARTIAL_SCHEMA
+    )
     t0 = time.perf_counter()
     partials.write.mode("overwrite").parquet(tmp)  # materialize: update phase
     t_update = time.perf_counter() - t0

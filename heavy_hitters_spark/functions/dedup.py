@@ -513,6 +513,7 @@ def near_dup_pairs_simhash(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dups with GUARANTEED recall at the requested radius:
     bucket on (max_hamming + 1) bit-chunks of the 64-bit simhash — by
@@ -527,14 +528,24 @@ def near_dup_pairs_simhash(
 
     max_hamming == 0 is exact 64-bit simhash equality and short-circuits
     to a plain bucket join on the full simhash (the chunked path would
-    need a 64-bit chunk mask, which overflows LongType literals)."""
+    need a 64-bit chunk mask, which overflows LongType literals).
+
+    ``max_bucket_size`` is the same belt-and-braces per-bucket ceiling
+    as the jaccard/LSH paths: chunk buckets with more members are
+    SKIPPED before the m^2/2 popcount verify (one degenerate chunk
+    value — e.g. the all-zeros chunk of short/empty docs on a sparse
+    bit region — would otherwise dominate a partition). A pair whose
+    only agreeing chunk lands in a dropped bucket is missed; the other
+    agreeing chunks (pigeonhole gives >= 1 per true near-dup, often
+    several) can still catch it. Use ``hot_bucket_stats`` on the
+    (ck, cv) keys to size the cap; None = exact recall guarantee."""
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
     if max_hamming == 0:
         sh0 = df.select(F.col(id_col), simhash_col(text_col).alias("sh"))
-        return _bucket_pairs_kernel(sh0, "sh", id_col).withColumn(
-            "hamming", F.lit(0).cast("long")
-        )
+        return _bucket_pairs_kernel(
+            sh0, "sh", id_col, max_bucket_size=max_bucket_size
+        ).withColumn("hamming", F.lit(0).cast("long"))
     n_chunks = max_hamming + 1
     base, rem = divmod(64, n_chunks)
     widths = [base + 1] * rem + [base] * (n_chunks - rem)
@@ -552,6 +563,7 @@ def near_dup_pairs_simhash(
     chunks = sh.select(
         id_col, "sh", F.explode(F.array(*chunk_structs)).alias("c")
     ).select(id_col, "sh", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+    cap = max_bucket_size
     # per-bucket pairwise popcount verify as a VECTORIZED numpy kernel:
     # repartition by bucket key + mapInPandas with IN-KERNEL grouping
     # (np boundary detection) — one Python invocation per partition, not
@@ -581,7 +593,7 @@ def near_dup_pairs_simhash(
         out_a, out_b, out_h = [], [], []
         for g0, g1 in zip(bounds[:-1], bounds[1:]):
             m = int(g1 - g0)
-            if m < 2:
+            if m < 2 or (cap is not None and m > cap):
                 continue
             ids, sig = ids_s[g0:g1], sig_s[g0:g1]
             block = max(1, (1 << 22) // m)  # ~32 MB xor blocks

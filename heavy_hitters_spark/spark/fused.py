@@ -34,7 +34,15 @@ from ..core.base import Sketch, pack_state
 from .aggregate import PARTIAL_SCHEMA, tree_merge
 
 
-def _fused_fn(template_bytes: bytes, text_col: str, split: str = " "):
+def _fused_fn(template_bytes: bytes, text_col: str, split: str = " ", blob_col: str | None = None):
+    """``blob_col``: when set, incoming rows carry pre-serialized Arrow
+    IPC streams (see ``pack_arrow_blobs``) instead of raw text; each
+    blob is decoded in Arrow C and fed to the same tokenize->sketch
+    loop. The JVM then serves a handful of opaque binary rows per
+    partition instead of converting ~10^5 string rows per build — the
+    per-row columnar->Arrow conversion overhead was measured at ~17 us
+    per row, a pure serving-side tax at high parallelism."""
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
@@ -46,7 +54,17 @@ def _fused_fn(template_bytes: bytes, text_col: str, split: str = " "):
         t0 = time.perf_counter()
         n_rows = n_upd = 0
         memo: dict[str, int] = {}
-        for batch in batches:
+
+        def text_batches():
+            for b in batches:
+                if blob_col is None:
+                    yield b
+                else:
+                    for blob in b.column(blob_col):
+                        reader = pa.ipc.open_stream(blob.as_py())
+                        yield from reader
+
+        for batch in text_batches():
             texts = batch.column(text_col)
             toks = pc.list_flatten(pc.split_pattern(texts, split))
             if len(toks) == 0:
@@ -105,13 +123,42 @@ def build_token_sketch(
     text_col: str = "text",
     fanin: int = 64,
     n_hint: int | None = None,
+    blob_col: str | None = None,
 ) -> tuple[Sketch, dict]:
     """One-pass fused build over a text column; returns (sketch, metrics).
     Equivalent result to tokens(df) -> key_id_col -> build_sketch, at a
-    fraction of the JVM->Python transfer."""
-    partials = df.select(text_col).mapInArrow(
-        _fused_fn(pack_state(template), text_col), PARTIAL_SCHEMA
+    fraction of the JVM->Python transfer. With ``blob_col``, ``df`` is a
+    pre-packed blob table from ``pack_arrow_blobs`` (same sketch values
+    for all linear sketches; merge-shape classes unchanged)."""
+    col = blob_col or text_col
+    partials = df.select(col).mapInArrow(
+        _fused_fn(pack_state(template), text_col, blob_col=blob_col), PARTIAL_SCHEMA
     )
     if n_hint is None:
         n_hint = df.rdd.getNumPartitions()
     return tree_merge(partials, fanin=fanin, n_hint=n_hint)
+
+
+def pack_arrow_blobs(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Pre-materialize the input as Arrow IPC stream blobs, one blob
+    per incoming Arrow batch, PARTITION-PRESERVING (mapInArrow is
+    per-partition, so every blob stays in its source partition and the
+    work distribution of a downstream build is unchanged).
+
+    Purpose: executor-storage input caching whose SERVING cost is a few
+    opaque binary rows per partition instead of a per-row
+    columnar->Arrow conversion on every pass — on a real cluster this
+    is the standard pattern of caching decoded scan output in its wire
+    format and letting the worker decode in Arrow C (zero-copy IPC)."""
+
+    def pack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import io
+
+        for b in batches:
+            sink = io.BytesIO()
+            with pa.ipc.new_stream(sink, b.schema) as w:
+                w.write_batch(b)
+            yield pa.RecordBatch.from_pydict({"blob": [sink.getvalue()]})
+
+    sel = df.select(*cols) if cols else df
+    return sel.mapInArrow(pack, "blob binary")

@@ -49,13 +49,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # throughput collector: Arrow serialization allocates heavily and
         # G1's pause pattern penalizes many concurrent local task threads.
-        # SPARK_GRAFT_JAVA_OPTS appends extra flags (A/B tuning in fresh
-        # subprocesses — JVM options only apply when THIS call launches
-        # the JVM; getOrCreate on an existing session ignores them, see
-        # docstring)
+        # ParallelGCThreads=8: the default (~5/8 of vCPUs = ~23 threads
+        # here) oversubscribes the box in bursts during collections,
+        # stalling the Python workers mid-kernel — capping it tightened
+        # local[8] build walls in interleaved A/B (4.2-6.3s spread ->
+        # 4.0-4.8s) without hurting local[2]. SPARK_GRAFT_JAVA_OPTS
+        # appends extra flags (A/B tuning in fresh subprocesses — JVM
+        # options only apply when THIS call launches the JVM;
+        # getOrCreate on an existing session ignores them, see docstring)
         .config(
             "spark.driver.extraJavaOptions",
-            ("-XX:+UseParallelGC " + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")).strip(),
+            ("-XX:+UseParallelGC -XX:ParallelGCThreads=8 "
+             + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")).strip(),
         )
         # serve cached input without per-read lz4 decode: the decompress
         # runs on the JVM task threads CONCURRENTLY with the Python

@@ -610,3 +610,25 @@ def test_lsh_band_pack_injective_for_many_bands(spark):
     cand = lsh_candidates(df, n_hashes=128, bands=64, shingle_n=3)
     got = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
     assert got == {(1, 3)}
+
+
+def test_simhash_bucket_cap_skips_hot_bucket(spark):
+    """max_bucket_size on the simhash path: a degenerate chunk bucket
+    (here: many identical short docs, all-equal simhash) must be
+    skipped by the cap — pairs caught ONLY there disappear — while
+    pairs with other agreeing chunks survive. cap=None keeps the exact
+    pigeonhole recall guarantee."""
+    from heavy_hitters_spark.functions.dedup import near_dup_pairs_simhash
+
+    hot = [(i, "x") for i in range(20)]  # 20 identical docs -> one hot bucket per chunk
+    base = "alpha beta gamma delta epsilon zeta".split()
+    pair = [(100, " ".join(base)), (101, " ".join(base))]
+    df = spark.createDataFrame(hot + pair, "doc_id long, text string")
+    full = {(r["doc_a"], r["doc_b"])
+            for r in near_dup_pairs_simhash(df, max_hamming=3).collect()}
+    assert (100, 101) in full
+    assert (0, 1) in full  # hot-bucket pairs present without the cap
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in near_dup_pairs_simhash(df, max_hamming=3, max_bucket_size=10).collect()}
+    assert (100, 101) in capped       # distinct-text pair survives the cap
+    assert (0, 1) not in capped       # hot-bucket-only pairs dropped
