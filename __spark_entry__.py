@@ -507,9 +507,15 @@ def _q_phi_heavy_users_cs(spark, sf):
         .cast("long")
         .alias("w"),
     )
+    # width/depth override = the reference's -w/-h global dims
+    # (precision_hh.c:116-150): the (eps, delta')-derived CS dims are
+    # quadratic in 1/eps (~1.5 GB/level here) — the exact verification
+    # below only needs candidate RECALL, which 2^16 x 7 delivers with
+    # huge margin on a 2^8-ary prefix tree
     hh = DyadicHH(
         phi=phi, epsilon=phi / 2, delta=0.05, m=MASK32, gran=8,
         sketch_type="count_sketch", seed_stream=SeedStream(1234, 5678),
+        width=1 << 16, depth=7,
     )
     merged, _ = build_sketch(ev, hh, id_col="id", weight_col="w")
     cand = [int(i) for i, _ in merged.query()]

@@ -58,8 +58,19 @@ class DyadicHH(Sketch):
         hash_family: str = "ms",
         seed_stream: SeedStream | None = None,
         conservative: bool = False,
+        width: int | None = None,
+        depth: int | None = None,
         _levels: list | None = None,
     ) -> None:
+        """``width``/``depth``: global per-level sketch dimension
+        override — the reference's ``-w``/``-h`` CLI flags, which apply
+        inside ``sketch_create`` to EVERY sketch including the
+        hierarchy's level sketches (precision_hh.c:116-150). The
+        (ε, δ′)-derived dims are the guarantee-carrying default; the
+        override is the reference's own space/accuracy trade (essential
+        for the count-sketch hierarchy, whose δ′ sizing is quadratic in
+        1/ε — callers that verify candidates exactly only need recall,
+        not the full (ε, δ) estimate guarantee)."""
         if epsilon is None:
             epsilon = phi / 2.0  # reference experiment convention
         assert phi > epsilon, "reference guard: phi must exceed epsilon (sketch.c:27)"
@@ -69,6 +80,7 @@ class DyadicHH(Sketch):
         self.sketch_type = sketch_type
         self.b, self.hash_family = b, hash_family
         self.conservative = conservative
+        self.width, self.depth = width, depth
         # logm = floor(log_k(m)) + 1 levels of gran-bit prefixes (ktree.c:19-22)
         self.logm = int(math.floor(math.log(max(self.m, 2), self.k))) + 1
         self.norm = 0
@@ -96,11 +108,13 @@ class DyadicHH(Sketch):
                 epsilon=self.epsilon, delta=delta_lvl, b=self.b,
                 hash_family=self.hash_family, seed_stream=stream,
                 conservative=self.conservative,
+                width=self.width, depth=self.depth,
             )
         if self.sketch_type == "count_sketch":
             return CountSketch(
                 epsilon=self.epsilon, delta=delta_lvl, b=max(self.b, 3),
                 hash_family=self.hash_family, seed_stream=stream,
+                width=self.width, depth=self.depth,
             )
         raise ValueError(self.sketch_type)
 

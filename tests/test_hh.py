@@ -126,3 +126,33 @@ def test_const_sketch_planted_and_merge(rng):
 def test_phi_guard():
     with pytest.raises(AssertionError):
         DyadicHH(phi=0.01, epsilon=0.02, delta=0.1)  # phi must exceed eps
+
+
+def test_dyadic_width_depth_override():
+    """Global width/depth override (the reference's -w/-h flags,
+    applied to every level sketch) must produce level sketches with
+    exactly those dims and still answer queries correctly."""
+    import numpy as np
+
+    from heavy_hitters_spark.core import SeedStream
+    from heavy_hitters_spark.hh import DyadicHH
+
+    hh = DyadicHH(
+        phi=0.01, epsilon=0.005, delta=0.05, m=(1 << 32) - 1, gran=8,
+        sketch_type="count_sketch", seed_stream=SeedStream(7, 8),
+        width=1 << 12, depth=5,
+    )
+    for kind, s in hh.levels:
+        if kind == "sketch":
+            assert (s.w, s.d) == (1 << 12, 5)
+    rng = np.random.default_rng(3)
+    items = np.concatenate([
+        rng.integers(0, 1 << 20, 3000).astype(np.uint64),
+        np.full(500, 42, dtype=np.uint64),
+    ])
+    hh.update_batch(items)
+    hits = dict(hh.query())
+    assert 42 in hits
+    # serde roundtrip preserves the overridden dims
+    hh2 = type(hh).from_bytes(hh.to_bytes())
+    assert dict(hh2.query()) == hits
