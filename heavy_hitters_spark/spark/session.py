@@ -49,17 +49,22 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # throughput collector: Arrow serialization allocates heavily and
         # G1's pause pattern penalizes many concurrent local task threads.
-        # ParallelGCThreads=8: the default (~5/8 of vCPUs = ~23 threads
-        # here) oversubscribes the box in bursts during collections,
-        # stalling the Python workers mid-kernel — capping it tightened
-        # local[8] build walls in interleaved A/B (4.2-6.3s spread ->
-        # 4.0-4.8s) without hurting local[2]. SPARK_GRAFT_JAVA_OPTS
+        # ParallelGCThreads=8 for NARROW sessions only (n_threads <= 8):
+        # the default (~5/8 of vCPUs = ~23 threads here) makes GC bursts
+        # oversubscribe the box (16 busy cores + 23 GC threads at
+        # local[8]), stalling Python workers mid-kernel — capping it
+        # tightened local[8] build walls in interleaved A/B (4.2-6.3s
+        # spread -> 4.0-4.8s). At WIDE sessions (local[32]) the box is
+        # already saturated and more GC threads = shorter pauses — the
+        # cap measured ~1.3x SLOWER there (media_features 0.9 -> 1.3s),
+        # so wide sessions keep the JVM default. SPARK_GRAFT_JAVA_OPTS
         # appends extra flags (A/B tuning in fresh subprocesses — JVM
         # options only apply when THIS call launches the JVM;
         # getOrCreate on an existing session ignores them, see docstring)
         .config(
             "spark.driver.extraJavaOptions",
-            ("-XX:+UseParallelGC -XX:ParallelGCThreads=8 "
+            ("-XX:+UseParallelGC "
+             + ("-XX:ParallelGCThreads=8 " if n_threads <= 8 else "")
              + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")).strip(),
         )
         # serve cached input without per-read lz4 decode: the decompress
