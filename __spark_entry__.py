@@ -599,6 +599,23 @@ def _q_doc_fingerprints_planted(spark, sf):
     )
 
 
+def _q_topk_tokens_stream(spark, sf):
+    """topk_tokens driven through Structured Streaming (readStream ->
+    foreachBatch sketch sink -> merged MG -> exact rescoring); same
+    oracle as the batch query by construction."""
+    from heavy_hitters_spark.queries import topk_tokens_stream
+
+    return topk_tokens_stream(spark, sf, k=20)
+
+
+def _q_windowed_event_counts_stream(spark, sf):
+    """Tumbling event-time windows through the windowed streaming sink;
+    exact per-window event counts gate the window assignment."""
+    from heavy_hitters_spark.queries import windowed_event_counts_stream
+
+    return windowed_event_counts_stream(spark, sf, window="1 day")
+
+
 def _q_eval_hh_precision(spark, sf):
     """The reference's precision_hh harness run over the hybrid
     phi-heavy-hitter output. The hybrid provably has recall 1.0 /
@@ -693,6 +710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "events_user_range_exact": _q_events_user_range_exact,
+        # structured-streaming surface (deterministic, oracle-gated)
+        "topk_tokens_stream": _q_topk_tokens_stream,
+        "windowed_event_counts_stream": _q_windowed_event_counts_stream,
         # sketch estimates; point_freq_cm / range_count_dyadic /
         # distinct_tokens_hll_rounded are oracle-gated because with these
         # widths and fixed seeds the estimates are deterministically
@@ -754,6 +774,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS freq FROM events, tot
             GROUP BY user_id, tot.n HAVING count(*) >= 0.005 * tot.n
             ORDER BY user_id ASC
+        """,
+        "topk_tokens_stream": f"""
+            SELECT token, count(*) AS freq FROM ({_TOKENS}) t
+            WHERE token <> '' GROUP BY token
+            ORDER BY freq DESC, token ASC LIMIT 20
+        """,
+        "windowed_event_counts_stream": """
+            SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_epoch,
+                   count(*) AS n_events
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "phi_heavy_users_cs": """
             WITH net AS (SELECT user_id,

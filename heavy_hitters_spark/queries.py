@@ -402,6 +402,94 @@ def quantiles_events_value_exact(
     ).orderBy("q")
 
 
+def topk_tokens_stream(spark: SparkSession, sf_dir: str, k: int = 20, kc: int = 4096) -> DataFrame:
+    """topk_tokens answered through STRUCTURED STREAMING end-to-end:
+    readStream over the documents parquet -> foreachBatch sketch sink
+    (durable per-batch partial states, exactly-once by batch_id
+    overwrite) -> tree-merged MisraGries -> the same exact rescoring
+    pass as the batch query. Deterministically equal to the batch
+    answer (same oracle): the streaming layer only changes HOW the
+    sketch pass is driven, never the stream contents. availableNow
+    drains the 'stream' to completion, the finite-replayable analog of
+    the reference's stream.c input."""
+    import shutil
+    import tempfile
+
+    from .spark.keys import key_id_col as _kic
+    from .streaming.sketch_stream import merged_sketch, sketch_sink
+
+    state = tempfile.mkdtemp(prefix="hh_stream_state_")
+    ckpt = tempfile.mkdtemp(prefix="hh_stream_ckpt_")
+    try:
+        sch = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        # the file-stream source requires a DIRECTORY; the testdata
+        # tables are single files, so stream the dir with a glob filter
+        stream = (
+            spark.readStream.schema(sch)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        ids = tokens(stream).withColumn("id", _kic("token"))
+        q = sketch_sink(ids, MisraGries(k=kc), state, ckpt, id_col="id")
+        q.awaitTermination()
+        mg = merged_sketch(spark, state)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return _mg_exact_topk(_token_ids(spark, sf_dir), mg, "token", k)
+
+
+def windowed_event_counts_stream(
+    spark: SparkSession, sf_dir: str, window: str = "1 day"
+) -> DataFrame:
+    """Event-time tumbling windows through the WINDOWED streaming sink:
+    one sketch state per (window, partition) per micro-batch, built in a
+    single map-side pass; late rows merge into their window without
+    watermark finalization. The gated output is the per-window exact
+    event count (the partial states' n_updates — exact, linear, summed
+    in Catalyst), so window ASSIGNMENT itself is what the oracle checks;
+    window_start is reported as epoch seconds to keep the comparison
+    timezone-representation-free."""
+    import shutil
+    import tempfile
+
+    from .streaming.sketch_stream import windowed_sketch_sink
+
+    state = tempfile.mkdtemp(prefix="hh_wstream_state_")
+    ckpt = tempfile.mkdtemp(prefix="hh_wstream_ckpt_")
+    try:
+        sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(sch)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ev = stream.select("ts", F.col("user_id").bitwiseAND(F.lit(MASK32)).alias("id"))
+        tmpl = CountMin(width=1 << 12, depth=3, seed_stream=SeedStream(1234, 5678))
+        q = windowed_sketch_sink(
+            ev, tmpl, state, ckpt, ts_col="ts", window=window, id_col="id"
+        )
+        q.awaitTermination()
+        rows = (
+            spark.read.parquet(state)
+            .groupBy("window_start")
+            .agg(F.sum("n_updates").alias("n_events"))
+            .select(
+                F.col("window_start").cast("long").alias("window_epoch"),
+                "n_events",
+            )
+            .orderBy("window_epoch")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r["window_epoch"]), int(r["n_events"])) for r in rows],
+        "window_epoch long, n_events long",
+    ).orderBy("window_epoch")
+
+
 def quantiles_events_value_exact_tdigest(
     spark: SparkSession, sf_dir: str, qs: list[float] | None = None, pad: float = 0.05
 ) -> DataFrame:
