@@ -566,6 +566,21 @@ def _q_phi_heavy_users_binary(spark, sf):
     )
 
 
+def _q_hot_shingle_stats(spark, sf):
+    """The web-scale cap-sizing observability query through the gate:
+    hot_bucket_stats over the per-shingle buckets (the table
+    jaccard_pairs_capped prunes), reporting what a max_bucket_size=5
+    ceiling would drop. Bucket sizes are identical whether buckets are
+    keyed by shingle string (SQL) or its xxhash64 (Spark) — 64-bit
+    collisions would only merge buckets, and the planted corpus has
+    none (hash_match gates it)."""
+    from heavy_hitters_spark.functions.dedup import _doc_shingle_hashes, hot_bucket_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sh = _doc_shingle_hashes(docs, 3, "text", "doc_id")
+    return hot_bucket_stats(sh, ["h"], max_bucket_size=5)
+
+
 def _q_doc_fingerprints_planted(spark, sf):
     """Oracle-gated fingerprint variant (same recipe as
     simhash_pairs_planted): plant TWO identical-text copies of docs
@@ -704,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users_weighted": _q_topk_users_weighted,
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_pairs_capped": _q_jaccard_pairs_capped,
+        "hot_shingle_stats": _q_hot_shingle_stats,
         "near_dup_minhash": _q_near_dup_minhash,
         "turnstile_net_cs": _q_turnstile_net_cs,
         "simhash_pairs_planted": _q_simhash_pairs_planted,
@@ -915,6 +931,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = doc_a
             JOIN sz sb ON sb.doc_id = doc_b
             WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
+        """,
+        "hot_shingle_stats": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(t[i.i : i.i + 2], ' ') AS shingle
+                   FROM toks, (SELECT unnest(range(1, 2000)) AS i) i
+                   WHERE i.i <= len(t) - 2),
+            sizes AS (SELECT shingle, count(*) AS m FROM sh GROUP BY shingle)
+            SELECT CAST(coalesce(sum(CASE WHEN m > 5 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_buckets_dropped,
+                   CAST(coalesce(sum(CASE WHEN m > 5 THEN m END), 0) AS BIGINT)
+                       AS n_ids_dropped,
+                   CAST(max(m) AS BIGINT) AS max_bucket_seen
+            FROM sizes
         """,
         "near_dup_minhash": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

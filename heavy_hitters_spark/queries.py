@@ -304,6 +304,8 @@ def _bisect_ranks(vals: DataFrame, ranks: list[int]) -> list[int]:
     row = vals.agg(
         F.min("v").alias("mn"), F.max("v").alias("mx"), F.count("*").alias("n")
     ).collect()[0]
+    if int(row["n"]) == 0:
+        raise ValueError("cannot resolve ranks on an empty value column")
     mn, mx = int(row["mn"]), int(row["mx"])
     # invariant per rank r: count(v <= lo) < r <= count(v <= hi)
     los = [mn - 1] * len(ranks)

@@ -32,7 +32,10 @@ def get_spark(
     for exactly this reason (bench.py build_run_subprocess)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    n_threads = int(master.split("[")[1].rstrip("]")) if "[" in master else 32
+    try:
+        n_threads = int(master.split("[")[1].rstrip("]")) if "[" in master else 32
+    except ValueError:  # local[*] and cluster masters
+        n_threads = os.cpu_count() or 32
     b = (
         SparkSession.builder.master(master)
         .appName(app)
