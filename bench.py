@@ -415,6 +415,26 @@ def build_run_subprocess(master: str, with_phases: bool = False, n_timed: int = 
     raise RuntimeError(f"bench subprocess failed twice: {last_err}")
 
 
+def bracket_round(lo_master: str = "local[2]", hi_master: str = "local[8]") -> dict:
+    """One bracketed lo-hi-lo measurement round in fresh subprocesses —
+    the unit the official protocol (main) and the tools/exp_*.py A/B
+    harnesses share, so the bracketing/min/eff arithmetic lives in ONE
+    place."""
+    rlo_a = build_run_subprocess(lo_master, n_timed=2)
+    rhi = build_run_subprocess(hi_master, n_timed=4)
+    rlo_b = build_run_subprocess(lo_master, n_timed=2)
+    lo = min(rlo_a["wall_sec"], rlo_b["wall_sec"])
+    hi = rhi["wall_sec"]
+    return {
+        "eff": round(lo / (4 * hi), 3),
+        "wall_lo": round(lo, 2),
+        "wall_hi": round(hi, 2),
+        "walls_lo": rlo_a["wall_all"] + rlo_b["wall_all"],
+        "walls_hi": rhi["wall_all"],
+        "calibs": [rlo_a["calib_sec"], rhi["calib_sec"], rlo_b["calib_sec"]],
+    }
+
+
 def main() -> None:
     os.makedirs(BENCH_DIR, exist_ok=True)
     ensure_pages()

@@ -394,9 +394,12 @@ def quantiles_events_value_exact(
             out.append((int(math.floor(lo)) - 1, int(math.ceil(hi)) + 1))
         return out
 
+    # pad=0 would regenerate identical windows every retry round, so
+    # rewindow doubles from a floor pad instead
+    base_pad = max(pad, 0.005)
     exact = _exact_quantiles_windowed(
         vals, qs, make_windows(pad),
-        rewindow=lambda attempt: make_windows(pad * (2 ** attempt)),
+        rewindow=lambda attempt: make_windows(base_pad * (2 ** attempt)),
     )
     return spark.createDataFrame(
         [(float(q), round(v / 100.0, 6)) for q, v in zip(qs, exact)],
@@ -512,9 +515,12 @@ def quantiles_events_value_exact_tdigest(
             out.append((int(math.floor(lo)) - 1, int(math.ceil(hi)) + 1))
         return out
 
+    # pad=0 would regenerate identical windows every retry round, so
+    # rewindow doubles from a floor pad instead
+    base_pad = max(pad, 0.005)
     exact = _exact_quantiles_windowed(
         vals, qs, make_windows(pad),
-        rewindow=lambda attempt: make_windows(pad * (2 ** attempt)),
+        rewindow=lambda attempt: make_windows(base_pad * (2 ** attempt)),
     )
     return spark.createDataFrame(
         [(float(q), round(v / 100.0, 6)) for q, v in zip(qs, exact)],

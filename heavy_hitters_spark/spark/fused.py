@@ -61,7 +61,10 @@ def _fused_fn(template_bytes: bytes, text_col: str, split: str = " ", blob_col: 
                     yield b
                 else:
                     for blob in b.column(blob_col):
-                        reader = pa.ipc.open_stream(blob.as_py())
+                        # zero-copy: parse the IPC stream from the Arrow
+                        # buffer view (as_py() would copy the multi-MB
+                        # blob into Python bytes first)
+                        reader = pa.ipc.open_stream(pa.BufferReader(blob.as_buffer()))
                         yield from reader
 
         for batch in text_batches():

@@ -67,7 +67,14 @@ def get_spark(
         .config(
             "spark.driver.extraJavaOptions",
             ("-XX:+UseParallelGC "
-             + ("-XX:ParallelGCThreads=8 " if n_threads <= 8 else "")
+             # an explicit ParallelGCThreads in SPARK_GRAFT_JAVA_OPTS
+             # suppresses the built-in cap so A/B harnesses can measure
+             # a true uncapped baseline
+             + ("-XX:ParallelGCThreads=8 "
+                if n_threads <= 8
+                and "ParallelGCThreads"
+                not in os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+                else "")
              + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")).strip(),
         )
         # serve cached input without per-read lz4 decode: the decompress

@@ -1,5 +1,9 @@
-"""Interleaved A/B of JVM/Arrow variants: alternating bracketed rounds
-so multi-minute host phases hit every variant equally."""
+"""Interleaved A/B of env-var variants: alternating bracketed rounds so
+multi-minute host phases hit every variant equally. Usage:
+  python tools/exp_interleaved.py N 'name1=ENV=V,ENV2=V2' 'name2='
+An explicit ParallelGCThreads in SPARK_GRAFT_JAVA_OPTS suppresses
+get_spark's built-in narrow-session cap, so a true uncapped baseline is
+'base=SPARK_GRAFT_JAVA_OPTS=-XX:ParallelGCThreads=23'."""
 import json
 import os
 import sys
@@ -7,28 +11,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench
 
-VARIANTS = [
-    ("base", {}),
-    ("gc8", {"SPARK_GRAFT_JAVA_OPTS": "-XX:ParallelGCThreads=8"}),
-    ("b8192", {"BENCH_ARROW_BATCH": "8192"}),
-]
-N_ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+specs = sys.argv[2:] or ["base=", "gc23=SPARK_GRAFT_JAVA_OPTS=-XX:ParallelGCThreads=23"]
+VARIANTS = []
+for spec in specs:
+    name, _, envs = spec.partition("=")
+    env = {}
+    if envs:
+        for kv in envs.split(","):
+            k, _, v = kv.partition("=")
+            env[k] = v
+    VARIANTS.append((name, env))
+ALL_KEYS = sorted({k for _, e in VARIANTS for k in e})
 
-for rnd in range(N_ROUNDS):
+for rnd in range(N):
     for name, env in VARIANTS:
-        for k in ("SPARK_GRAFT_JAVA_OPTS", "BENCH_ARROW_BATCH"):
+        for k in ALL_KEYS:
             os.environ.pop(k, None)
         os.environ.update(env)
-        rlo_a = bench.build_run_subprocess("local[2]", n_timed=2)
-        rhi = bench.build_run_subprocess("local[8]", n_timed=4)
-        rlo_b = bench.build_run_subprocess("local[2]", n_timed=2)
-        lo = min(rlo_a["wall_sec"], rlo_b["wall_sec"])
-        hi = rhi["wall_sec"]
-        print(json.dumps({
-            "round": rnd, "variant": name,
-            "eff": round(lo / (4 * hi), 3),
-            "wall_lo": round(lo, 2), "wall_hi": round(hi, 2),
-            "walls_lo": rlo_a["wall_all"] + rlo_b["wall_all"],
-            "walls_hi": rhi["wall_all"],
-            "calibs": [rlo_a["calib_sec"], rhi["calib_sec"], rlo_b["calib_sec"]],
-        }), flush=True)
+        print(json.dumps(dict(round=rnd, variant=name, **bench.bracket_round())), flush=True)

@@ -1,5 +1,5 @@
 """Validation: N bracketed rounds with the current engine defaults
-(threaded fold + GC cap), same shape as official bench rounds."""
+(bench.bracket_round is the shared measurement unit)."""
 import json
 import os
 import sys
@@ -9,15 +9,4 @@ import bench
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 for rnd in range(N):
-    rlo_a = bench.build_run_subprocess("local[2]", n_timed=2)
-    rhi = bench.build_run_subprocess("local[8]", n_timed=4)
-    rlo_b = bench.build_run_subprocess("local[2]", n_timed=2)
-    lo = min(rlo_a["wall_sec"], rlo_b["wall_sec"])
-    hi = rhi["wall_sec"]
-    print(json.dumps({
-        "round": rnd, "eff": round(lo / (4 * hi), 3),
-        "wall_lo": round(lo, 2), "wall_hi": round(hi, 2),
-        "walls_lo": rlo_a["wall_all"] + rlo_b["wall_all"],
-        "walls_hi": rhi["wall_all"],
-        "calibs": [rlo_a["calib_sec"], rhi["calib_sec"], rlo_b["calib_sec"]],
-    }), flush=True)
+    print(json.dumps(dict(round=rnd, **bench.bracket_round())), flush=True)
