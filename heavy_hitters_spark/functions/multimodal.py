@@ -81,7 +81,12 @@ def synth_media_df(spark, n_rows: int = 64, seed: int = 7) -> DataFrame:
         rows.append(
             (int(i), kind, payload, size, size, (h % 30) + 1, 16000)
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # coalesce: createDataFrame slices tiny local collections into
+    # defaultParallelism partitions (32 x 2 rows at local[32]), and the
+    # downstream mapInPandas then pays ~32 Python-worker task
+    # round-trips of pure overhead — the dominant (and noisy) cost of
+    # the media_features query wall
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, min(8, n_rows)))
 
 
 def extract_features(
