@@ -37,9 +37,23 @@ job definition identical to round 2 so walls stay comparable):
     of the whole run — i.e. only rounds hit by a severe interference
     spike relative to the run's typical host speed are rejected
     (bracketing already cancels smooth drift); rejected rounds stay on
-    the record and are replaced by up to 3 extra rounds. If fewer than
+    the record and are replaced by up to 4 extra rounds. If fewer than
     3 rounds are valid, the headline falls back to the median over ALL
     rounds (flagged in the output)
+  - INTRA-ROUND SANITY GATE (pre-registered round 5, before this
+    round's official run; VERDICT r04 "wrong" #2 — a physically
+    impossible per-round efficiency of 1.019 entered the r4 headline
+    median as "valid" because the probe gate only sees pre-Spark host
+    speed): a round is additionally REJECTED, flagged on the record
+    and replaced like a probe-gated round, iff (a) its two lo brackets
+    disagree by more than 25% (|lo_a - lo_b| / min > 0.25 — the host
+    phase shifted mid-round, so the lo/hi ratio no longer compares
+    like with like), or (b) its efficiency falls outside the plausible
+    [0.3, 1.0] band (eff > 1.0 for this ratio is impossible absent
+    measurement contamination; eff < 0.3 means a bracket straddled a
+    severe stall the probes missed). Both tests are symmetric in
+    direction — they reject contaminated rounds on either side of the
+    target, never select by outcome.
   - query walls: one warm-up run, report the second (steady-state) run
   - target: scaling_efficiency_n_to_4n >= 0.8 (BASELINE.json)
 
@@ -350,7 +364,81 @@ def _extract_query_walls(d: dict) -> dict[str, float]:
     return {
         k: float(v)
         for k, v in re.findall(r'"([A-Za-z0-9_]+)":\s*(-?[0-9][0-9.]*)', seg)
+        if k not in _NON_QUERY_KEYS
     }
+
+
+# record-level numeric fields that must never be scraped into a walls
+# dict by the head-truncated-tail regex fallback (ADVICE r04 #4: the
+# fallback previously accepted ANY numeric key in the segment)
+_NON_QUERY_KEYS = frozenset(
+    {
+        "n", "rc", "cpus", "sf", "value", "pages_rows", "total_sec",
+        "docs_per_sec_lo", "docs_per_sec_hi", "updates_per_sec_hi",
+        "scaling_efficiency_n_to_4n", "n_rounds_used",
+        "probe_pre_sec", "probe_post_sec",
+    }
+)
+
+
+def _baseline_md_walls(bench_dir: str) -> dict[str, float]:
+    """Per-query walls from the NEWEST '| query timings (sec) | {...} |'
+    row in BENCH/BASELINE.md (main-run blocks and requeries addendum
+    rows share the format; blocks are append-only, so the last row is
+    the most recent run)."""
+    path = os.path.join(bench_dir, "BASELINE.md")
+    try:
+        with open(path) as f:
+            text = f.read()
+    except OSError:
+        return {}
+    marker = "| query timings (sec) | "
+    i = text.rfind(marker)
+    if i < 0:
+        return {}
+    line = text[i + len(marker):].split("\n", 1)[0].rstrip().rstrip("|").strip()
+    try:
+        walls = json.loads(line)
+    except ValueError:
+        return {}
+    return {k: float(v) for k, v in walls.items() if isinstance(v, (int, float))}
+
+
+def baseline_walls(here: str | None = None) -> tuple[str, dict[str, float], dict[str, str]]:
+    """Merged cross-round regression baseline (VERDICT r04 'wrong' #1:
+    the gate silently compared against whatever suffix of the previous
+    round's queries survived stdout-tail truncation — ~24/49 in r4 —
+    and real regressions outside that suffix went unflagged).
+
+    Priority per query: the archived driver record BENCH_r{N}.json
+    (authoritative cross-round baseline) > BENCH/last_run.json (the
+    FULL record this script writes on every run) > the newest 'query
+    timings' row in BENCH/BASELINE.md. Returns (description, walls,
+    source-file-per-query) so the printed record can state exactly
+    what each wall was compared against."""
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    bench_dir = os.path.join(here, "BENCH")
+    name, walls = previous_query_walls(here)
+    sources = {q: name for q in walls}
+    fillers: list[tuple[str, dict[str, float]]] = []
+    try:
+        with open(os.path.join(bench_dir, "last_run.json")) as f:
+            lr = json.load(f)
+        fillers.append(("BENCH/last_run.json", _extract_query_walls(lr)))
+    except (OSError, ValueError):
+        pass
+    fillers.append(("BENCH/BASELINE.md", _baseline_md_walls(bench_dir)))
+    used_fillers = []
+    for src, fw in fillers:
+        added = False
+        for q, w in fw.items():
+            if q not in walls:
+                walls[q], sources[q] = w, src
+                added = True
+        if added:
+            used_fillers.append(src)
+    desc = "+".join([name] + used_fillers) if name else "+".join(used_fillers)
+    return desc, walls, sources
 
 
 def previous_query_walls(here: str | None = None) -> tuple[str, dict[str, float]]:
@@ -385,6 +473,27 @@ def compute_regressions(
         for q, w in queries.items()
         if q in prev_walls and prev_walls[q] > 0 and w > factor * prev_walls[q]
     }
+
+
+def round_sanity(
+    eff: float, lo_a: float, lo_b: float,
+    spread_tol: float = 0.25, eff_band: tuple[float, float] = (0.3, 1.0),
+) -> tuple[bool, str]:
+    """Intra-round consistency check (pre-registered round 5; see the
+    module docstring). A round whose two lo brackets disagree by more
+    than ``spread_tol`` sampled two different host phases, and an
+    efficiency outside ``eff_band`` is physically implausible for the
+    lo/(4*hi) ratio — both mark contamination the pre-Spark probes
+    cannot see. Symmetric: rejects implausibly GOOD draws (eff > 1.0,
+    the r4 1.019 case) exactly like implausibly bad ones."""
+    if min(lo_a, lo_b) <= 0:
+        return False, "nonpositive lo bracket wall"
+    spread = abs(lo_a - lo_b) / min(lo_a, lo_b)
+    if spread > spread_tol:
+        return False, f"lo brackets disagree {spread:.0%} (> {spread_tol:.0%})"
+    if not (eff_band[0] <= eff <= eff_band[1]):
+        return False, f"eff {eff:.3f} outside {list(eff_band)}"
+    return True, "ok"
 
 
 def build_run_subprocess(master: str, with_phases: bool = False, n_timed: int = 4) -> dict:
@@ -429,13 +538,18 @@ def bracket_round(lo_master: str = "local[2]", hi_master: str = "local[8]") -> d
     rlo_b = build_run_subprocess(lo_master, n_timed=2)
     lo = min(rlo_a["wall_sec"], rlo_b["wall_sec"])
     hi = rhi["wall_sec"]
+    eff = round(lo / (4 * hi), 3)
+    sane, sanity_reason = round_sanity(eff, rlo_a["wall_sec"], rlo_b["wall_sec"])
     return {
-        "eff": round(lo / (4 * hi), 3),
+        "eff": eff,
         "wall_lo": round(lo, 2),
         "wall_hi": round(hi, 2),
         "walls_lo": rlo_a["wall_all"] + rlo_b["wall_all"],
         "walls_hi": rhi["wall_all"],
         "calibs": [rlo_a["calib_sec"], rhi["calib_sec"], rlo_b["calib_sec"]],
+        "lo_brackets": [round(rlo_a["wall_sec"], 2), round(rlo_b["wall_sec"], 2)],
+        "sanity_ok": sane,
+        "sanity_reason": sanity_reason,
     }
 
 
@@ -464,7 +578,7 @@ def main() -> None:
     n_rounds = 5
     CALIB_TOL = 1.25  # pre-registered interference-gate tolerance (vs run-median probe)
 
-    def run_round(with_phases: bool):
+    def run_round(with_phases: bool) -> dict:
         rlo_a = build_run_subprocess(f"local[{lo}]", with_phases=False, n_timed=2)
         rhi = build_run_subprocess(f"local[{hi}]", with_phases=with_phases, n_timed=4)
         rlo_b = build_run_subprocess(f"local[{lo}]", with_phases=with_phases, n_timed=2)
@@ -473,10 +587,16 @@ def main() -> None:
         rlo["wall_sec"] = min(rlo_a["wall_sec"], rlo_b["wall_sec"])
         rlo["docs_per_sec"] = rlo["docs"] / rlo["wall_sec"]
         rlo["updates_per_sec"] = rlo["updates"] / rlo["wall_sec"]
-        calibs = [rlo_a["calib_sec"], rhi["calib_sec"], rlo_b["calib_sec"]]
-        return (rhi, rlo, rhi["docs_per_sec"] / (4.0 * rlo["docs_per_sec"]), calibs)
+        eff = rhi["docs_per_sec"] / (4.0 * rlo["docs_per_sec"])
+        return {
+            "rhi": rhi,
+            "rlo": rlo,
+            "eff": eff,
+            "calibs": [rlo_a["calib_sec"], rhi["calib_sec"], rlo_b["calib_sec"]],
+            "lo_brackets": (rlo_a["wall_sec"], rlo_b["wall_sec"]),
+        }
 
-    rounds = []
+    rounds: list[dict] = []
     for i in range(n_rounds):
         try:
             rounds.append(run_round(i == n_rounds - 1))
@@ -485,21 +605,34 @@ def main() -> None:
     if not rounds:
         raise RuntimeError("all bench rounds failed")
 
-    def valid_mask():
-        allc = sorted(c for _, _, _, cs in rounds for c in cs)
+    def probe_mask():
+        allc = sorted(c for r in rounds for c in r["calibs"])
         center = allc[len(allc) // 2]
-        return [max(cs) <= center * CALIB_TOL for _, _, _, cs in rounds]
+        return [max(r["calibs"]) <= center * CALIB_TOL for r in rounds]
 
-    # replace interference-contaminated rounds (bounded): the gate only
-    # reads the PRE-SPARK host probes, never the measured walls
+    def sanity_mask():
+        return [round_sanity(r["eff"], *r["lo_brackets"])[0] for r in rounds]
+
+    def valid_mask():
+        return [p and s for p, s in zip(probe_mask(), sanity_mask())]
+
+    # replace contaminated rounds (bounded): the probe gate reads only
+    # the PRE-SPARK host probes; the sanity gate (pre-registered round
+    # 5) reads only intra-round consistency — never the outcome's
+    # distance from the target
     extra = 0
-    while sum(valid_mask()) < n_rounds and extra < 3:
+    while sum(valid_mask()) < n_rounds and extra < 4:
         extra += 1
         try:
             rounds.append(run_round(False))
         except RuntimeError as e:
             print(f"# extra round failed: {e}", file=sys.stderr)
     mask = valid_mask()
+    pmask, smask = probe_mask(), sanity_mask()
+    for i, (r, s_ok) in enumerate(zip(rounds, smask)):
+        if not s_ok:
+            reason = round_sanity(r["eff"], *r["lo_brackets"])[1]
+            print(f"# round {i} sanity-rejected: {reason}", file=sys.stderr)
     valid = [r for r, ok in zip(rounds, mask) if ok]
     used = valid if len(valid) >= 3 else rounds
 
@@ -508,17 +641,19 @@ def main() -> None:
         n = len(s)
         return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
-    eff = median([e for _, _, e, _ in used])
-    rate_hi = median([r["docs_per_sec"] for r, _, _, _ in used])
-    rate_lo = median([r["docs_per_sec"] for _, r, _, _ in used])
-    upd_hi = median([r["updates_per_sec"] for r, _, _, _ in used])
-    walls_hi = [w for r, _, _, _ in rounds for w in r["wall_all"]]
-    walls_lo = [w for _, r, _, _ in rounds for w in r["wall_all"]]
-    phases_hi = next((r["phases"] for r, _, _, _ in rounds if r.get("phases")), None)
-    phases_lo = next((r["phases"] for _, r, _, _ in rounds if r.get("phases")), None)
+    eff = median([r["eff"] for r in used])
+    rate_hi = median([r["rhi"]["docs_per_sec"] for r in used])
+    rate_lo = median([r["rlo"]["docs_per_sec"] for r in used])
+    upd_hi = median([r["rhi"]["updates_per_sec"] for r in used])
+    walls_hi = [w for r in rounds for w in r["rhi"]["wall_all"]]
+    walls_lo = [w for r in rounds for w in r["rlo"]["wall_all"]]
+    phases_hi = next((r["rhi"]["phases"] for r in rounds if r["rhi"].get("phases")), None)
+    phases_lo = next((r["rlo"]["phases"] for r in rounds if r["rlo"].get("phases")), None)
     queries = time_queries()
-    prev_name, prev_walls = previous_query_walls()
+    prev_name, prev_walls, prev_sources = baseline_walls()
     regressions = compute_regressions(queries, prev_walls)
+    n_compared = sum(1 for q in queries if q in prev_walls and prev_walls[q] > 0)
+    baseline_coverage = f"{n_compared}/{len(queries)}"
     total = sum(v for v in queries.values() if v > 0) + median(walls_lo) + median(walls_hi)
     # the PRINTED one-line record stays compact (the driver captures a
     # bounded stdout tail; round 3's inline wall arrays pushed the line
@@ -538,20 +673,25 @@ def main() -> None:
         "docs_per_sec_hi": round(rate_hi, 1),
         "updates_per_sec_hi": round(upd_hi, 1),
         "scaling_efficiency_n_to_4n": round(eff, 3),
-        "scaling_efficiency_per_round": [round(e, 3) for _, _, e, _ in rounds],
+        "scaling_efficiency_per_round": [round(r["eff"], 3) for r in rounds],
         "rounds_valid": mask,
+        "rounds_probe_ok": pmask,
+        "rounds_sanity_ok": smask,
         "n_rounds_used": len(used),
         "headline_fallback_all_rounds": len(valid) < 3,
         "regressions_vs": prev_name,
+        "regressions_baseline_coverage": baseline_coverage,
         "regressions": regressions,
     }
     full = dict(
         result,
-        round_calibrations_sec=[[round(c, 4) for c in cs] for _, _, _, cs in rounds],
+        round_calibrations_sec=[[round(c, 4) for c in r["calibs"]] for r in rounds],
+        lo_brackets=[[round(w, 2) for w in r["lo_brackets"]] for r in rounds],
         walls_lo=walls_lo,
         walls_hi=walls_hi,
         phases_lo=phases_lo,
         phases_hi=phases_hi,
+        regressions_baseline_sources=prev_sources,
     )
     with open(os.path.join(BENCH_DIR, "last_run.json"), "w") as f:
         json.dump(full, f, indent=1)
@@ -581,13 +721,14 @@ def main() -> None:
             f"| docs/sec local[{hi}] (~4N), median of rounds | {rate_hi:.1f} (all walls {walls_hi}) |\n"
             f"| updates/sec local[{hi}], median of rounds | {upd_hi:.1f} |\n"
             f"| scaling efficiency N->4N, median of valid rounds (target >= 0.8) | {eff:.3f} |\n"
-            f"| per-round efficiencies (primary record) | {[round(e, 3) for _, _, e, _ in rounds]} |\n"
-            f"| per-round host probes (sec; gate: all <= 1.25x run median) | {[[round(c, 4) for c in cs] for _, _, _, cs in rounds]} |\n"
-            f"| rounds valid / used for headline | {mask} / {len(used)}{' (FALLBACK: all rounds)' if len(valid) < 3 else ''} |\n"
+            f"| per-round efficiencies (primary record) | {[round(r['eff'], 3) for r in rounds]} |\n"
+            f"| per-round host probes (sec; gate: all <= 1.25x run median) | {[[round(c, 4) for c in r['calibs']] for r in rounds]} |\n"
+            f"| per-round lo brackets (sec; sanity gate: spread <= 25%, eff in [0.3, 1.0]) | {[[round(w, 2) for w in r['lo_brackets']] for r in rounds]} |\n"
+            f"| rounds probe-ok / sanity-ok / used for headline | {pmask} / {smask} / {len(used)}{' (FALLBACK: all rounds)' if len(valid) < 3 else ''} |\n"
             f"| phase split local[{lo}] (create/update/merge/query) | {json.dumps(phases_lo)} |\n"
             f"| phase split local[{hi}] | {json.dumps(phases_hi)} |\n"
             f"| query timings (sec) | {json.dumps(queries)} |\n"
-            f"| regressions > 1.5x vs {prev_name or 'n/a'} | {json.dumps(regressions)} |\n"
+            f"| regressions > 1.5x vs {prev_name or 'n/a'} (baseline coverage {baseline_coverage}) | {json.dumps(regressions)} |\n"
         )
     print(json.dumps(result))
 

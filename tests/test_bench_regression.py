@@ -75,3 +75,73 @@ def test_no_false_regressions():
     assert bench.compute_regressions({"a": 1.0}, {"a": 0.9}) == {}
     assert bench.compute_regressions({"a": 1.0}, {}) == {}
     assert bench.compute_regressions({"a": 1.0}, {"a": -1.0}) == {}
+
+
+def test_merged_baseline_catches_early_alphabet_regression(tmp_path):
+    """VERDICT r04 'wrong' #1 end-to-end: a head-truncated driver tail
+    only preserves the late-alphabet suffix of the queries dict, so a
+    3.7x wall jump in jaccard_pairs (early alphabet) was invisible to
+    the gate. baseline_walls must fill the gap from BENCH/last_run.json
+    and the merged baseline must flag the regression."""
+    tail = ('.064, "simhash_pairs": 2.503}, '
+            '"sf": "/root/testdata/sf0.1", "pages_rows": 200000}')
+    (tmp_path / "BENCH_r4.json").write_text(json.dumps({"tail": tail, "parsed": None}))
+    bdir = tmp_path / "BENCH"
+    bdir.mkdir()
+    (bdir / "last_run.json").write_text(json.dumps(
+        {"queries": {"jaccard_pairs": 3.01, "simhash_pairs": 99.0, "lang_id": 1.66}}
+    ))
+    desc, walls, sources = bench.baseline_walls(str(tmp_path))
+    # BENCH_r4 wins where present; last_run fills the truncated head
+    assert walls["simhash_pairs"] == 2.503
+    assert walls["jaccard_pairs"] == 3.01
+    assert walls["lang_id"] == 1.66
+    assert sources["jaccard_pairs"] == "BENCH/last_run.json"
+    assert sources["simhash_pairs"] == "BENCH_r4.json"
+    assert "BENCH_r4.json" in desc and "last_run" in desc
+    reg = bench.compute_regressions({"jaccard_pairs": 11.06, "simhash_pairs": 2.6}, walls)
+    assert set(reg) == {"jaccard_pairs"}
+
+
+def test_baseline_fills_from_baseline_md(tmp_path):
+    (tmp_path / "BENCH_r4.json").write_text(
+        json.dumps({"parsed": {"queries": {"topk_tokens": 1.2}}, "tail": ""})
+    )
+    bdir = tmp_path / "BENCH"
+    bdir.mkdir()
+    (bdir / "BASELINE.md").write_text(
+        "## bench run x\n\n| a | b |\n|---|---|\n"
+        '| query timings (sec) | {"topk_tokens": 9.9, "lang_id": 1.5} |\n'
+    )
+    _, walls, sources = bench.baseline_walls(str(tmp_path))
+    assert walls == {"topk_tokens": 1.2, "lang_id": 1.5}
+    assert sources["lang_id"] == "BENCH/BASELINE.md"
+
+
+def test_tail_scrape_ignores_record_fields():
+    """ADVICE r04 #4: the head-truncated regex fallback must not let
+    record-level numeric fields (e.g. a partial top-level number before
+    the first '}') into the walls dict."""
+    tail = ('.064, "above_threshold_cm": 1.22, "value": 120.5, '
+            '"simhash_pairs": 2.503}, "sf": "/root/testdata/sf0.1"}')
+    walls = bench._extract_query_walls({"tail": tail, "parsed": None})
+    assert walls == {"above_threshold_cm": 1.22, "simhash_pairs": 2.503}
+
+
+def test_round_sanity_gate():
+    """Pre-registered round-5 gate (VERDICT r04 'wrong' #2): the
+    physically impossible 1.019 efficiency draw and phase-straddling
+    lo brackets must both be rejected; normal rounds pass."""
+    ok, _ = bench.round_sanity(0.81, 25.0, 26.0)
+    assert ok
+    ok, why = bench.round_sanity(1.019, 25.0, 26.0)  # the r4 draw
+    assert not ok and "outside" in why
+    ok, why = bench.round_sanity(0.25, 25.0, 26.0)
+    assert not ok and "outside" in why
+    ok, why = bench.round_sanity(0.81, 20.0, 26.0)  # 30% bracket spread
+    assert not ok and "disagree" in why
+    ok, _ = bench.round_sanity(0.81, 26.0, 20.0)  # symmetric in order
+    assert not ok
+    # boundary cases stay valid
+    assert bench.round_sanity(1.0, 25.0, 25.0)[0]
+    assert bench.round_sanity(0.3, 20.0, 25.0)[0]

@@ -14,8 +14,9 @@ pre = bench.host_calibration()
 t0 = time.time()
 queries = bench.time_queries()
 post = bench.host_calibration()
-prev_name, prev_walls = bench.previous_query_walls()
+prev_name, prev_walls, _src = bench.baseline_walls()
 regressions = bench.compute_regressions(queries, prev_walls)
+n_compared = sum(1 for q in queries if q in prev_walls and prev_walls[q] > 0)
 rec = {
     "kind": "query_walls_addendum",
     "probe_pre_sec": round(pre, 4),
@@ -23,6 +24,7 @@ rec = {
     "queries": queries,
     "total_sec": round(sum(v for v in queries.values() if v > 0), 3),
     "regressions_vs": prev_name,
+    "regressions_baseline_coverage": f"{n_compared}/{len(queries)}",
     "regressions": regressions,
 }
 print(json.dumps(rec))
