@@ -229,13 +229,28 @@ def _q_jaccard_pairs_capped(spark, sf):
 def _q_simhash_pairs(spark, sf):
     """8 x 8-bit chunk bucketing: recall GUARANTEED for hamming <= 7
     (pigeonhole); radius 7 keeps candidate volume ~n^2/256 per chunk.
-    max_bucket_size=2000 is the armed web-scale ceiling: measured skew
-    at sf0.1 puts 25% of the corpus in ONE chunk bucket (1253/5000
-    docs) — harmless here (every bucket is under the cap, so the output
-    is unchanged and the planted oracle variant stays exact), quadratic
-    at 100x, where the cap bounds the verify task while the other 7
-    chunks keep catching pairs (pigeonhole usually gives several
-    agreeing chunks per true near-dup)."""
+    UNCAPPED — this query carries the guaranteed-recall contract
+    (ADVICE r04 #3: arming the bucket ceiling here silently weakened it
+    at scale factors where the cap binds); the armed web-scale ceiling
+    is the simhash_pairs_capped variant below, mirroring the
+    jaccard_pairs / jaccard_pairs_capped split."""
+    from heavy_hitters_spark.functions.dedup import near_dup_pairs_simhash
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return near_dup_pairs_simhash(docs, max_hamming=7)
+
+
+def _q_simhash_pairs_capped(spark, sf):
+    """The 100x-relevant capped SimHash path: max_bucket_size=2000 is
+    the armed web-scale ceiling. Measured skew at sf0.1 puts 25% of the
+    corpus in ONE chunk bucket (1253/5000 docs) — every bucket is still
+    under this cap, so at sf0.1 the output equals the uncapped query
+    (asserted in tests); at 100x the cap bounds the quadratic verify
+    task for a hot chunk while the other 7 chunks keep catching pairs
+    (pigeonhole gives several agreeing chunks per true near-dup). Pairs
+    whose only agreeing chunks are all hot are dropped — the documented
+    recall/volume trade, now explicit in its own variant instead of
+    silently armed in the contract-carrying query."""
     from heavy_hitters_spark.functions.dedup import near_dup_pairs_simhash
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -278,6 +293,32 @@ def _q_ann_ivf_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     qv = [r["embedding"] for r in emb.where(F.col("vec_id") < 3).orderBy("vec_id").collect()]
     return ivf_topk(emb, np.array(qv), k=10, n_cells=32, n_probe=8)
+
+
+def _q_ann_lsh_recall(spark, sf):
+    """Driver-gated recall@10 of the LSH index vs the exact ranking
+    (VERDICT r04 #5), computed IN SPARK by eval.ann_recall — the
+    precision_hh-style harness applied to ANN. Deterministic: the
+    hyperplane seeds, table layout, and tie-breaks are all fixed, so
+    the per-query hit counts are a reproducible function of the data —
+    the oracle recomputes the exact top-10 ranking in SQL (proving the
+    ground-truth side and the query_id set) and pins the hit counts at
+    their fixed-seed values (same recipe as eval_hh_precision, whose
+    recall/precision literals are pinned at their provable values; the
+    recall floors are additionally bounds-gated in pytest)."""
+    from heavy_hitters_spark.eval import ann_recall
+
+    return ann_recall(_q_ann_topk(spark, sf), _q_ann_lsh_topk(spark, sf), k=10)
+
+
+def _q_ann_ivf_recall(spark, sf):
+    """Driver-gated recall@10 of the IVF index (n_cells=32, n_probe=8)
+    vs the exact ranking — same harness and oracle recipe as
+    ann_lsh_recall; k-means training order and cell assignment are
+    seed-fixed, so the hit counts are deterministic."""
+    from heavy_hitters_spark.eval import ann_recall
+
+    return ann_recall(_q_ann_topk(spark, sf), _q_ann_ivf_topk(spark, sf), k=10)
 
 
 def _q_cosine_near_dups(spark, sf):
@@ -756,8 +797,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2_norm_cs": _q_l2_norm,
         "l2_norm_exact": _q_l2_norm_exact,
         "simhash_pairs": _q_simhash_pairs,
+        "simhash_pairs_capped": _q_simhash_pairs_capped,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_lsh_recall": _q_ann_lsh_recall,
+        "ann_ivf_recall": _q_ann_ivf_recall,
         "cosine_near_dups": _q_cosine_near_dups,
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_fingerprints_planted": _q_doc_fingerprints_planted,
@@ -1091,6 +1135,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quantiles_kll_exact": _QUANTILES_SQL,
         "quantiles_tdigest_exact": _QUANTILES_SQL,
+        # ANN recall oracles: the exact top-10 ranking (ground truth and
+        # query_id set) is RECOMPUTED in SQL; the per-query hit counts
+        # are pinned at their fixed-seed deterministic values for the
+        # gate's sf0.01 tables (eval_hh_precision recipe — the oracle
+        # rows exist only if the recomputed exact ranking yields the
+        # expected 3 query ids x 10 rows, so a ground-truth drift fails
+        # the gate, not just a recall drift)
+        "ann_lsh_recall": _ann_recall_sql("(0, 6), (1, 4), (2, 6)"),
+        "ann_ivf_recall": _ann_recall_sql("(0, 7), (1, 8), (2, 4)"),
         "cosine_near_dups": """
             WITH aug AS (
                 SELECT vec_id, embedding FROM embeddings
@@ -1107,6 +1160,34 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.99
         """,
     }
+
+
+def _ann_recall_sql(pinned_hits: str) -> str:
+    """Oracle for the ANN recall harness queries: recompute the exact
+    cosine top-10 per query in SQL, then join the fixed-seed pinned
+    per-query hit counts against the query_ids the exact ranking
+    actually produced (each must contribute exactly 10 ranked rows)."""
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 3),
+        scored AS (SELECT q.query_id, e.vec_id,
+                          list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                                 CAST(e.embedding AS DOUBLE[])) AS score
+                   FROM q CROSS JOIN embeddings e),
+        ranked AS (SELECT query_id, vec_id,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, vec_id ASC) AS rank
+                   FROM scored),
+        ex AS (SELECT query_id, count(*) AS n_exact FROM ranked
+               WHERE rank <= 10 GROUP BY query_id),
+        pinned(query_id, n_hits) AS (VALUES {pinned_hits})
+        SELECT CAST(ex.query_id AS BIGINT) AS query_id,
+               CAST(p.n_hits AS BIGINT) AS n_hits,
+               round(p.n_hits / 10.0, 6) AS recall_at_10
+        FROM ex JOIN pinned p ON p.query_id = ex.query_id
+        WHERE ex.n_exact = 10
+        ORDER BY query_id
+    """
 
 
 _QS = "[0.1, 0.25, 0.5, 0.75, 0.9, 0.99]"

@@ -72,6 +72,10 @@ class CountMin(Sketch):
         parameterization: str = "reference",
     ) -> None:
         fam = FAMILIES[hash_family]
+        if (width is None) != (depth is None):
+            # a partial override would silently fall back to the
+            # (eps, delta)-derived dims (ADVICE r04 #1)
+            raise ValueError("width and depth must be overridden together")
         if width is not None and depth is not None:
             w, d = width, depth
         else:

@@ -57,6 +57,34 @@ def hh_precision_recall(
     )
 
 
+def ann_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an approximate ANN result vs the exact
+    ranking: (query_id, n_hits, recall_at_k), one row per query_id in
+    the EXACT result (a query the approximate index missed entirely
+    scores 0, not absent). Distributed: a key join on (query_id,
+    vec_id) — both sides are top-k lists, k rows per query, so the join
+    is broadcast-sized no matter how large the corpus behind it was."""
+    ex = exact.select("query_id", "vec_id")
+    ap = approx.select("query_id", "vec_id")
+    hits = (
+        ex.join(ap, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        ex.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("h"), F.lit(0)) / F.lit(float(k)), 6).alias(
+                f"recall_at_{k}"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 def sketch_violation_rate(
     spark: SparkSession,
     ids_df: DataFrame,

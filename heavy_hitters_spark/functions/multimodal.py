@@ -81,12 +81,19 @@ def synth_media_df(spark, n_rows: int = 64, seed: int = 7) -> DataFrame:
         rows.append(
             (int(i), kind, payload, size, size, (h % 30) + 1, 16000)
         )
-    # coalesce: createDataFrame slices tiny local collections into
-    # defaultParallelism partitions (32 x 2 rows at local[32]), and the
-    # downstream mapInPandas then pays ~32 Python-worker task
-    # round-trips of pure overhead — the dominant (and noisy) cost of
-    # the media_features query wall
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, min(8, n_rows)))
+    # Parallelize with an EXPLICIT slice count: createDataFrame slices
+    # tiny local collections into defaultParallelism partitions (32 at
+    # local[32]) and each created slice costs ~200 ms in this sandbox
+    # even when later coalesced into fewer tasks (measured round 5:
+    # 32-slice + coalesce(8) = ~1.3 s, + coalesce(1) = ~7 s, explicit
+    # 1-8 slices = ~0.4 s for the full media_features query). The
+    # round-4 coalesce(8) only treated the task count, not the slice
+    # count, which is why the query's wall stayed 1.5-2.5x its r3
+    # baseline and kept tripping the regression gate.
+    n_slices = max(1, min(8, n_rows))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
 
 
 def extract_features(

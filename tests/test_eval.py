@@ -59,3 +59,21 @@ def test_tail_error(spark, zipf_df):
     row = tail_error_quantile(spark, zipf_df, merged, delta).collect()[0]
     # (1-delta)-quantile of error within the eps*L1 guarantee
     assert row["tail_err"] <= eps * merged.norm
+
+
+def test_ann_recall_scores_missed_queries_zero(spark):
+    """eval.ann_recall: per-query hit counts vs the exact ranking; a
+    query the index missed entirely must score 0, not vanish."""
+    from heavy_hitters_spark.eval import ann_recall
+
+    exact = spark.createDataFrame(
+        [(q, i) for q in (0, 1) for i in range(10)], "query_id long, vec_id long"
+    )
+    approx = spark.createDataFrame(
+        [(0, i) for i in range(5)] + [(0, 99)], "query_id long, vec_id long"
+    )
+    rows = ann_recall(exact, approx, k=10).collect()
+    assert [(r["query_id"], r["n_hits"], r["recall_at_10"]) for r in rows] == [
+        (0, 5, 0.5),
+        (1, 0, 0.0),
+    ]

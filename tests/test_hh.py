@@ -128,6 +128,78 @@ def test_phi_guard():
         DyadicHH(phi=0.01, epsilon=0.02, delta=0.1)  # phi must exceed eps
 
 
+def test_partial_width_depth_override_raises():
+    """ADVICE r04 #1: passing only one of width/depth used to silently
+    fall back to the (eps, delta)-derived dims; it must raise."""
+    from heavy_hitters_spark.core import CountMin, CountSketch
+
+    for kw in ({"width": 1 << 12}, {"depth": 5}):
+        with pytest.raises(ValueError, match="together"):
+            CountMin(epsilon=0.01, delta=0.05, **kw)
+        with pytest.raises(ValueError, match="together"):
+            CountSketch(epsilon=0.01, delta=0.05, **kw)
+        with pytest.raises(ValueError, match="together"):
+            DyadicHH(phi=0.01, epsilon=0.005, delta=0.05, **kw)
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_cs_hierarchy_recall_at_gated_dims(seed):
+    """VERDICT r04 #7: the phi_heavy_users_cs driver query overrides
+    the CS hierarchy's level-sketch dims to 2^16 x 7 (the reference's
+    -w/-h trade; the derived dims are ~1.5 GB/level) and then relies on
+    candidate RECALL only — exact verification filters false positives.
+    Pin that contract: under the EXACT production parameters
+    (phi=0.005, eps=phi/2, gran=8, m=2^32-1, count_sketch, 2^16 x 7,
+    the production seed stream), a user whose NET turnstile frequency
+    sits just above phi*L1 must always surface as a candidate, across
+    background streams, update chunkings, and partition merges."""
+    import math
+
+    from heavy_hitters_spark.spark.keys import MASK32
+
+    rng = np.random.default_rng(seed)
+    n_bg = 1200
+    users = rng.integers(0, MASK32 + 1, n_bg, dtype=np.uint64)
+    # background net counts: skewed positives plus some deletions
+    counts = (rng.zipf(1.5, n_bg) % 500).astype(np.int64) + 1
+    deletions = -(counts[: n_bg // 4] // 3)
+    bg_users = np.concatenate([users, users[: n_bg // 4]])
+    bg_counts = np.concatenate([counts, deletions])
+    net_bg = int(bg_counts.sum())
+    phi = 0.005
+    planted = np.uint64(1234567891)
+    t = int(math.ceil(phi * net_bg / (1.0 - phi))) + 2  # net just above phi*L1
+    d = 50  # planted deletions too: +-(t+d) insert/delete churn, net t
+    all_users = np.concatenate([bg_users, [planted, planted]])
+    all_counts = np.concatenate([bg_counts, [t + d, -d]]).astype(np.int64)
+    total = int(all_counts.sum())
+    assert t >= phi * total  # fixture self-check: planted is a true HH
+
+    def make():
+        return DyadicHH(
+            phi=phi, epsilon=phi / 2, delta=0.05, m=MASK32, gran=8,
+            sketch_type="count_sketch", seed_stream=SeedStream(1234, 5678),
+            width=1 << 16, depth=7,
+        )
+
+    # single-shot build
+    perm = rng.permutation(len(all_users))
+    hh = make()
+    hh.update_batch(all_users[perm], all_counts[perm])
+    assert int(planted) in {i for i, _ in hh.query()}
+
+    # 4-partition build + merge (the distributed shape)
+    parts = [make() for _ in range(4)]
+    for i, p in enumerate(parts):
+        sl = perm[i::4]
+        p.update_batch(all_users[sl], all_counts[sl])
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.merge(p)
+    assert acc.norm == total
+    assert int(planted) in {i for i, _ in acc.query()}
+
+
 def test_dyadic_width_depth_override():
     """Global width/depth override (the reference's -w/-h flags,
     applied to every level sketch) must produce level sketches with

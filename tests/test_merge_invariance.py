@@ -111,6 +111,55 @@ def test_kll_bounds_under_merge_shapes(rng):
         assert np.all(np.abs(kll.quantile(qs) - qs * n) <= 0.03 * n), shape
 
 
+def test_driver_fold_stays_in_invariance_class(rng):
+    """ADVICE r04 #2: the threaded pairwise driver fold
+    (spark.aggregate._driver_fold) replaced a sequential left fold; pin
+    its invariance-class claim directly. For LINEAR sketches the folded
+    state must be BYTE-identical to the sequential fold. For the
+    order-sensitive MisraGries, state bytes may legitimately differ
+    between fold shapes — what must agree is the GATED output: both
+    folds' candidate sets must contain every true top-k item (the
+    decrement-witness recall the hybrid queries rely on), so the
+    exact-rescored top-k is identical."""
+    from heavy_hitters_spark.core.base import pack_state
+    from heavy_hitters_spark.spark.aggregate import _driver_fold
+
+    data = (rng.zipf(1.2, 200000) % 10000).astype(np.uint64)
+    exact = np.bincount(data.astype(np.int64), minlength=10000).astype(np.int64)
+    parts = _parts(data, 16, "round_robin", rng)
+
+    # linear: byte-identical to the sequential left fold
+    lin_states = []
+    for p in parts:
+        s = CountMin(width=1024, depth=5, seed_stream=SeedStream(1, 2))
+        s.update_batch(p)
+        lin_states.append(s)
+    blobs = [pack_state(s) for s in lin_states]
+    folded = _driver_fold(blobs)
+    seq = merge_all([CountMin.from_bytes(s.to_bytes()) for s in lin_states])
+    assert folded.to_bytes() == seq.to_bytes()
+
+    # MisraGries: same decrement bound + same exact-rescored top-k
+    mg_states = []
+    for p in parts:
+        s = MisraGries(k=256)
+        s.update_batch(p)
+        mg_states.append(s)
+    blobs = [pack_state(s) for s in mg_states]
+    tree = _driver_fold(blobs)
+    seq = merge_all([MisraGries.from_bytes(s.to_bytes()) for s in mg_states])
+    k = 10
+    true_top = sorted(range(10000), key=lambda i: (-exact[i], i))[:k]
+    for mg in (tree, seq):
+        est = mg.point(np.arange(10000))
+        assert np.all(est <= exact)
+        assert np.all(exact - est <= mg.norm / (mg.k + 1))
+        cand = {int(i) for i, _ in mg.candidates()}
+        assert set(true_top) <= cand  # recall certificate for rescoring
+        rescored = sorted(cand, key=lambda i: (-exact[i], i))[:k]
+        assert rescored == true_top
+
+
 def test_conservative_cm_bounds_across_partitions(rng):
     """Conservative within partition, plain-add across (SURVEY.md §7):
     merged estimate sandwiched between exact and plain CM."""

@@ -208,3 +208,20 @@ def test_quantiles_exact_with_zero_pad_still_exact(spark):
     a = {r["q"]: r["value_est"] for r in quantiles_events_value_exact(spark, SF, pad=0.0).collect()}
     b = {r["q"]: r["value_est"] for r in quantiles_events_value_exact(spark, SF, pad=0.05).collect()}
     assert a == b
+
+
+def test_simhash_capped_equals_uncapped_at_small_sf(spark):
+    """The simhash_pairs / simhash_pairs_capped split (ADVICE r04 #3):
+    at scale factors where every chunk bucket is under the 2000-doc
+    ceiling the capped variant must return EXACTLY the uncapped
+    guaranteed-recall output; the cap may only bind (documented
+    recall/volume trade) at larger corpora."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    unc = {(r["doc_a"], r["doc_b"], r["hamming"])
+           for r in q["simhash_pairs"](spark, SF).collect()}
+    cap = {(r["doc_a"], r["doc_b"], r["hamming"])
+           for r in q["simhash_pairs_capped"](spark, SF).collect()}
+    assert cap == unc
+    assert len(unc) > 0
