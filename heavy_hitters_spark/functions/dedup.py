@@ -125,6 +125,7 @@ def jaccard_pairs(
     skipped."""
     # per-doc sizes map-side (no shuffle); pair generation over 8-byte
     # shingle hashes instead of shingle strings (narrower shuffle rows)
+    df = _widen_narrow_scan(df)
     toks = F.split(F.col(text_col), " ")
     sizes = df.select(
         F.col(id_col),
@@ -261,9 +262,45 @@ def _bucket_pairs_all_kernel(
             }
         )
 
-    return keyed.repartition(F.col(bucket_col)).mapInPandas(
+    # EXPLICIT partition count (exempt from AQE coalescing): without it
+    # AQE's byte-based coalescing shrinks this exchange to 1-2 tasks
+    # (the shingle table is only tens of MB), serializing the
+    # CPU-QUADRATIC pair expansion onto 1-2 Python workers — measured
+    # round 5 at sf0.1: 2 tasks, and the r3/r4 2.5-11s jaccard wall
+    # variance traced to those two unsmoothed workers (any per-worker
+    # host stall lands 1:1 on the wall). Pair cost scales with
+    # sum(m^2) per bucket, not bytes, so byte-based coalescing is the
+    # wrong policy here. The count is shuffle.partitions/4 (floor 4):
+    # full width measured WORSE in this sandbox (32 fresh workers pay
+    # multi-second first-touch warm-up and ~40ms/task fixed cost for
+    # ms-scale kernel work); a quarter keeps one wave of substantial
+    # tasks while scaling with the configured parallelism on a real
+    # cluster. Interleaved sweep (sf0.1 steady walls): AQE 3.8-9.8s
+    # erratic, n=32 4.8-5.5s, n=8 3.7-4.7s, n=4 3.4-4.6s.
+    n_parts = _kernel_partitions(keyed)
+    return keyed.repartition(n_parts, F.col(bucket_col)).mapInPandas(
         part_fn, "doc_a long, doc_b long, cnt long"
     )
+
+
+def _kernel_partitions(df: DataFrame) -> int:
+    """Partition count for CPU-quadratic bucket kernels (see the
+    rationale at the _bucket_pairs_all_kernel call site)."""
+    return max(4, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")) // 4)
+
+
+def _widen_narrow_scan(df: DataFrame) -> DataFrame:
+    """Ensure minimum parallelism for the CPU-heavy per-doc kernels
+    (shingle/minhash/simhash): a small corpus parquet is ONE 128 MB
+    split, so the whole tokenize+hash stage would run as a single task
+    — both serializing it and exposing the wall 1:1 to any single-core
+    host stall. On a web-scale corpus the scan already has thousands of
+    splits and this is a no-op (the condition is on the SCAN's split
+    count, so no shuffle is added at scale)."""
+    n_min = _kernel_partitions(df)
+    if df.rdd.getNumPartitions() < n_min:
+        return df.repartition(n_min)
+    return df
 
 
 def _bucket_pairs_kernel(
@@ -419,6 +456,7 @@ def near_dup_pairs_minhash(
     the LSH signatures for docs shorter than shingle_n tokens, so
     identical short docs verify at jaccard 1.0 instead of being
     silently dropped with an empty shingle set."""
+    df = _widen_narrow_scan(df)
     cand = lsh_candidates(
         df, n_hashes, bands, shingle_n, text_col, id_col, max_bucket_size=max_bucket_size
     )
@@ -541,6 +579,7 @@ def near_dup_pairs_simhash(
     (ck, cv) keys to size the cap; None = exact recall guarantee."""
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
+    df = _widen_narrow_scan(df)
     if max_hamming == 0:
         sh0 = df.select(F.col(id_col), simhash_col(text_col).alias("sh"))
         return _bucket_pairs_kernel(
@@ -615,8 +654,13 @@ def near_dup_pairs_simhash(
                 }
             )
 
+    # explicit numPartitions for the same reason as
+    # _bucket_pairs_all_kernel: the per-bucket popcount verify is
+    # CPU-quadratic in bucket size, so AQE's byte-based coalescing
+    # (which collapsed this exchange to 1-2 tasks at sf0.1) both
+    # serializes the work and amplifies single-worker host stalls
     return (
-        chunks.repartition(F.col("ck"), F.col("cv"))
+        chunks.repartition(_kernel_partitions(chunks), F.col("ck"), F.col("cv"))
         .mapInPandas(part_fn, "doc_a long, doc_b long, hamming long")
         .distinct()
     )

@@ -84,4 +84,13 @@ def get_spark(
         # compressed vs ~5.2-5.9 s uncompressed, same host phase)
         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
     )
+    # shuffle/spill directory override (A/B hook): this sandbox has no
+    # swap, so only FILE-BACKED pages are reclaimable and the host's
+    # page-cache reclaim can force shuffle reads back to the slow virtio
+    # disk mid-query; a tmpfs local.dir keeps shuffle blocks RAM-resident
+    # (tmpfs pages are unevictable without swap). JVM-launch config —
+    # only applies when THIS call starts the JVM (see docstring).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     return b.getOrCreate()
