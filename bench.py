@@ -695,7 +695,7 @@ def main() -> None:
     )
     with open(os.path.join(BENCH_DIR, "last_run.json"), "w") as f:
         json.dump(full, f, indent=1)
-    n_upd = rounds[0][0]["updates"]
+    n_upd = rounds[0]["rhi"]["updates"]
     with open(os.path.join(BENCH_DIR, "BASELINE.md"), "a") as f:
         f.write(
             f"\n## bench run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"

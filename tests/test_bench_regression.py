@@ -145,3 +145,47 @@ def test_round_sanity_gate():
     # boundary cases stay valid
     assert bench.round_sanity(1.0, 25.0, 25.0)[0]
     assert bench.round_sanity(0.3, 20.0, 25.0)[0]
+
+
+def test_main_end_to_end_with_stubbed_runs(tmp_path, monkeypatch, capsys):
+    """Full main() aggregation/record path over canned round results —
+    the round-5 official run crashed AFTER 50 minutes of measurement on
+    a stale tuple access in the record-writing tail; this pins the
+    whole tail (gates, medians, record JSON, BASELINE.md append)
+    without Spark."""
+    bdir = tmp_path / "BENCH"
+    bdir.mkdir()
+    monkeypatch.setattr(bench, "BENCH_DIR", str(bdir))
+    monkeypatch.setattr(bench, "ensure_pages", lambda: None)
+    calls = {"n": 0}
+
+    def fake_run(master, with_phases=False, n_timed=4):
+        calls["n"] += 1
+        lo = "local[2]" in master or master.endswith("[2]")
+        wall = 16.0 + 0.1 * calls["n"] if lo else 4.9
+        return {
+            "master": master, "calib_sec": 0.05, "wall_sec": wall,
+            "wall_all": [round(wall, 2), round(wall + 0.1, 2)],
+            "docs": 200000, "docs_per_sec": 200000 / wall,
+            "updates": 12345678, "updates_per_sec": 12345678 / wall,
+            "hll_distinct_est": 1000.0,
+            "phases": {"create_sec": 0.1} if with_phases else None,
+        }
+
+    monkeypatch.setattr(bench, "build_run_subprocess", fake_run)
+    monkeypatch.setattr(bench, "time_queries", lambda: {"topk_tokens": 1.2, "lang_id": 9.9})
+    monkeypatch.setattr(
+        bench, "baseline_walls",
+        lambda here=None: ("BENCH_r4.json", {"topk_tokens": 1.1, "lang_id": 1.5},
+                           {"topk_tokens": "BENCH_r4.json", "lang_id": "BENCH_r4.json"}),
+    )
+    bench.main()
+    line = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["scaling_efficiency_n_to_4n"] > 0
+    assert rec["regressions_baseline_coverage"] == "2/2"
+    assert set(rec["regressions"]) == {"lang_id"}
+    assert len(rec["rounds_valid"]) == len(rec["rounds_sanity_ok"]) == 5
+    full = json.loads((bdir / "last_run.json").read_text())
+    assert full["lo_brackets"] and full["regressions_baseline_sources"]
+    assert "query timings" in (bdir / "BASELINE.md").read_text()
