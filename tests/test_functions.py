@@ -632,3 +632,23 @@ def test_simhash_bucket_cap_skips_hot_bucket(spark):
               for r in near_dup_pairs_simhash(df, max_hamming=3, max_bucket_size=10).collect()}
     assert (100, 101) in capped       # distinct-text pair survives the cap
     assert (0, 1) not in capped       # hot-bucket-only pairs dropped
+
+
+def test_widen_narrow_scan_contract(spark):
+    """_widen_narrow_scan: a scan narrower than the kernel width gets
+    repartitioned up (the small-corpus case that serialized the per-doc
+    kernels onto one task); an input already at/above the width is
+    returned UNCHANGED — the scale no-op contract, so web-scale scans
+    with data-determined splits never pay an extra shuffle."""
+    from heavy_hitters_spark.functions.dedup import (
+        _kernel_partitions,
+        _widen_narrow_scan,
+    )
+
+    df = spark.createDataFrame([(i, "t") for i in range(100)], "doc_id long, text string")
+    n_min = _kernel_partitions(df)
+    narrow = df.coalesce(1)
+    widened = _widen_narrow_scan(narrow)
+    assert widened.rdd.getNumPartitions() == n_min
+    wide = df.repartition(n_min + 3)
+    assert _widen_narrow_scan(wide) is wide  # untouched, no added shuffle
