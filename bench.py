@@ -57,6 +57,26 @@ job definition identical to round 2 so walls stay comparable):
   - query walls: one warm-up run, report the second (steady-state) run
   - target: scaling_efficiency_n_to_4n >= 0.8 (BASELINE.json)
 
+Round-5 engine change (job definition and protocol unchanged):
+map-side duplicate collapse in the fused kernel (spark/fused.py). The
+tokenizer's dictionary_encode already produces (vocab, indices); one
+bincount over the indices yields (unique_ids, counts) — ~10k uniques
+per ~510k-token batch on the Zipf page stream — and every sketch whose
+PREAGG_SAFE contract holds (CM/CS/MG/HLL/DyadicHH: linear counters,
+set semantics, or bounds-level contracts) takes the weighted update
+path over that ~50x smaller batch; KLL (unweighted sampler) still
+consumes the raw id array. Sketch states are bit-identical to the
+raw-stream path (asserted in tests/test_fused.py; MG receives exactly
+the same per-batch (unique, count) pairs as its internal unique() used
+to produce). Measured single-thread kernel: 2.06 -> 5.99 M upd/s; the
+smaller memory footprint also removes the multicore bandwidth
+contention that capped hi-level scaling (first bracketed round after
+the change: eff 0.953, wall_hi 2.09 s = 95.7k docs/s, in a
+degraded-probe window where the old kernel drew 0.63-0.74).
+MisraGries batch updates also replaced unique(return_inverse)+add.at
+with return_counts / searchsorted-merge (same state bytes, ~3x less
+batch-update CPU).
+
 Round-4 engine changes (the measured job — tokenize + hash + 6-sketch
 update + merge over the same 200k pages — and the round protocol are
 unchanged): (1) the driver-side fold of collected partials is a

@@ -35,6 +35,9 @@ _EMPTY = np.empty(0, dtype=np.float64)
 @register
 class KLL(Sketch):
     TYPE = "kll"
+    # update_batch ignores ``counts`` (unweighted sampler): collapsing
+    # duplicates before the update would change the sampled stream
+    PREAGG_SAFE = False
 
     def __init__(self, k: int = 200, seed: int = 0x5EED) -> None:
         self.k = int(k)

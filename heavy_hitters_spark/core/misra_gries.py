@@ -47,12 +47,24 @@ class MisraGries(Sketch):
 
     # ------------------------------------------------------------------
     def _combine(self, ux: np.ndarray, uc: np.ndarray) -> None:
-        """Add (unique, counted) batch into the sorted state + shrink."""
-        allit = np.concatenate([self.items, ux])
-        allc = np.concatenate([self.cnts, uc])
-        si, inv = np.unique(allit, return_inverse=True)
-        sc = np.zeros(len(si), dtype=np.int64)
-        np.add.at(sc, inv, allc)
+        """Add (unique, counted) batch into the sorted state + shrink.
+        ``ux`` must be sorted unique; the state is sorted unique, so a
+        searchsorted merge (matched: in-place add; new: one stable sort
+        over state+new) replaces the concat+unique re-sort, which
+        dominated the fused build kernel (np.add.at at ~10x bincount
+        cost)."""
+        if len(self.items):
+            idx = np.searchsorted(self.items, ux)
+            idx_c = np.minimum(idx, len(self.items) - 1)
+            hit = self.items[idx_c] == ux
+            sc_state = self.cnts.copy()
+            sc_state[idx_c[hit]] += uc[hit]
+            si = np.concatenate([self.items, ux[~hit]])
+            sc = np.concatenate([sc_state, uc[~hit]])
+            order = np.argsort(si, kind="stable")
+            si, sc = si[order], sc[order]
+        else:
+            si, sc = ux.copy(), uc.copy()
         if len(si) > self.k:
             # subtract the (k+1)-th largest; keep strictly-positive rest
             cut = int(np.partition(sc, len(sc) - self.k - 1)[len(sc) - self.k - 1])
@@ -73,9 +85,15 @@ class MisraGries(Sketch):
             # CountSketch (signed counters).
             raise ValueError("MisraGries is insert-only; negative weights rejected")
         self.norm += int(c.sum())
-        ux, inv = np.unique(x, return_inverse=True)
-        uc = np.zeros(len(ux), dtype=np.int64)
-        np.add.at(uc, inv, c)
+        if counts is None:
+            # unweighted fast path: sorted-unique counting, no add.at
+            ux, uc = np.unique(x, return_counts=True)
+        else:
+            order = np.argsort(x, kind="stable")
+            xs, cs = x[order], c[order]
+            starts = np.flatnonzero(np.r_[True, xs[1:] != xs[:-1]])
+            ux = xs[starts]
+            uc = np.add.reduceat(cs, starts)
         self._combine(ux, uc)
 
     def point(self, items) -> np.ndarray:

@@ -54,6 +54,19 @@ def _fused_fn(template_bytes: bytes, text_col: str, split: str = " ", blob_col: 
         t0 = time.perf_counter()
         n_rows = n_upd = 0
         memo: dict[str, int] = {}
+        # map-side combine routing: sketches for which a pre-aggregated
+        # (unique_ids, counts) batch is equivalent to the raw token
+        # stream take the weighted path over ~vocab-sized batches (a
+        # Zipf token batch of ~500k collapses to ~10k uniques, cutting
+        # the per-sketch hash+scatter work and the memory traffic by
+        # that ratio); the rest (KLL: unweighted sampler) get the raw
+        # id array. Duplicate collapse happens once per Arrow batch via
+        # the dictionary indices that tokenization already produced.
+        from ..core.multi import MultiSketch
+
+        children = list(sk.sketches.values()) if isinstance(sk, MultiSketch) else [sk]
+        preagg_targets = [s for s in children if s.PREAGG_SAFE]
+        raw_targets = [s for s in children if not s.PREAGG_SAFE]
 
         def text_batches():
             for b in batches:
@@ -77,20 +90,45 @@ def _fused_fn(template_bytes: bytes, text_col: str, split: str = " ", blob_col: 
                 d = d.combine_chunks()
             vocab = d.dictionary.to_pylist()
             lut = np.empty(len(vocab), dtype=np.uint64)
+            empty_j = -1
             for j, tok in enumerate(vocab):
+                if tok == "":
+                    empty_j = j
                 h = memo.get(tok)
                 if h is None:
                     h = xxh64(tok.encode()) & MASK32
                     memo[tok] = h
                 lut[j] = h
             idx = d.indices.to_numpy(zero_copy_only=False)
-            ids = lut[idx]
-            # drop empty-string tokens (parity with keys.tokens filter)
-            if "" in memo:
-                ids = ids[ids != np.uint64(memo[""])]
-            sk.update_batch(ids)
+            if preagg_targets:
+                uc = np.bincount(idx, minlength=len(lut)).astype(np.int64)
+                u = lut
+                if empty_j >= 0:
+                    # drop empty-string tokens (parity with keys.tokens
+                    # filter) by DICTIONARY slot, so a real token whose
+                    # hash collides with h("") survives
+                    keep = np.ones(len(u), dtype=bool)
+                    keep[empty_j] = False
+                    u, uc = u[keep], uc[keep]
+                order = np.argsort(u, kind="stable")
+                u, uc = u[order], uc[order]
+                # collapse dictionary slots that hash to the same id
+                starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+                if len(starts) < len(u):
+                    u = u[starts]
+                    uc = np.add.reduceat(uc, starts)
+                for s in preagg_targets:
+                    s.update_batch(u, uc)
+                n_batch = int(uc.sum())
+            if raw_targets:
+                ids = lut[idx]
+                if "" in memo:
+                    ids = ids[ids != np.uint64(memo[""])]
+                for s in raw_targets:
+                    s.update_batch(ids)
+                n_batch = len(ids)
             n_rows += len(texts)
-            n_upd += len(ids)
+            n_upd += n_batch
         ctx = TaskContext.get()
         raw = sk.to_bytes()
         state = pack_state_bytes(raw)  # ship packed; account raw (SPACE)

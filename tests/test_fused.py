@@ -59,3 +59,60 @@ def test_blob_input_build_matches_text_build(spark):
     assert m_t["n_updates"] == m_b["n_updates"]
     assert np.array_equal(sk_t["cm"].table, sk_b["cm"].table)
     assert float(sk_t["hll"].estimate()) == float(sk_b["hll"].estimate())
+
+
+def test_fused_preagg_routing_mixed_template(spark):
+    """The map-side duplicate collapse (PREAGG_SAFE routing) must leave
+    every sketch's SEMANTICS intact when a template mixes safe and
+    unsafe sketches: linear sketches stay byte-identical to the
+    exploded Catalyst path, and KLL — routed down the raw-id path
+    because collapsing duplicates would change its sampled stream —
+    must still see the full duplicated token stream (its rank
+    estimates match the true stream ranks, not the distinct-value
+    ranks, which differ grossly on a Zipf-weighted vocabulary)."""
+    from heavy_hitters_spark.core import KLL, MisraGries
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def tmpl():
+        return MultiSketch({
+            "cm": CountMin(width=1 << 12, depth=5, seed_stream=SeedStream(1, 2)),
+            "mg": MisraGries(k=256),
+            "kll": KLL(k=200, seed=7),
+        })
+
+    fused, m1 = build_token_sketch(docs, tmpl(), text_col="text")
+    ids_df = tokens(docs).withColumn("id", key_id_col("token"))
+    exploded, m2 = build_sketch(ids_df, tmpl(), id_col="id")
+    assert m1["n_updates"] == m2["n_updates"]
+    # linear sketch: byte-identical regardless of routing
+    assert np.array_equal(fused["cm"].table, exploded["cm"].table)
+
+    ids = np.array([r.id for r in ids_df.select("id").collect()], dtype=np.uint64)
+    exact = {}
+    for i in ids:
+        exact[int(i)] = exact.get(int(i), 0) + 1
+    n = len(ids)
+
+    # MG (preagg path, bounds-level contract): undercount <= norm/(k+1)
+    mg = fused["mg"]
+    assert mg.norm == n
+    top = sorted(exact.items(), key=lambda kv: -kv[1])[:20]
+    est = mg.point(np.array([t for t, _ in top], dtype=np.uint64))
+    for (tok, cnt), e in zip(top, est):
+        assert e <= cnt
+        assert cnt - e <= mg.norm // (mg.k + 1) + 1
+
+    # KLL (raw path): stream-rank accuracy. On this Zipf stream the
+    # median of the raw id STREAM and of the DISTINCT ids differ by
+    # far more than the KLL error bound, so a collapsed feed would
+    # fail this assertion.
+    kll = fused["kll"]
+    sids = np.sort(ids)
+    for q in (0.25, 0.5, 0.75):
+        est_q = float(kll.quantile(q)[0] if np.ndim(kll.quantile(q)) else kll.quantile(q))
+        true_rank = np.searchsorted(sids, est_q, side="right") / n
+        assert abs(true_rank - q) < 0.05, (q, true_rank)
+    distinct_median_rank = np.searchsorted(
+        sids, np.median(np.unique(ids)), side="right") / n
+    assert abs(distinct_median_rank - 0.5) > 0.1  # the two medians truly differ

@@ -292,3 +292,64 @@ def test_pairs_by_size_edges():
     assert list(zip(a.tolist(), b.tolist())) == [(1, 2)]
     a, b = _pairs_by_size(key, ids, max_bucket_size=None)
     assert len(a) == 1 + 6  # pair + C(4,2)
+
+
+def test_misra_gries_weighted_equals_collapsed_and_reference(rng):
+    """The weighted update path (argsort + reduceat batch collapse,
+    round-5 rewrite) must be byte-identical to (a) feeding the batch
+    pre-collapsed to sorted (unique, counts) — the map-side-combine
+    contract PREAGG_SAFE relies on — and (b) the straightforward
+    unique(return_inverse) + add.at reference collapse it replaced.
+    Also: a weighted batch of unit counts == the unweighted path."""
+    items = (rng.zipf(1.3, 20000) % 3000).astype(np.uint64)
+    w = rng.integers(0, 5, len(items)).astype(np.int64)  # includes zeros
+
+    mg_w = MisraGries(k=64)
+    mg_w.update_batch(items, w)
+
+    # (a) pre-collapsed equivalent batch
+    ux, inv = np.unique(items, return_inverse=True)
+    uc = np.zeros(len(ux), dtype=np.int64)
+    np.add.at(uc, inv, w)
+    mg_c = MisraGries(k=64)
+    mg_c.update_batch(ux, uc)
+    assert mg_w.to_bytes() == mg_c.to_bytes()
+
+    # (b) multi-chunk weighted stream == same chunks collapsed per chunk
+    mg_s, mg_s2 = MisraGries(k=64), MisraGries(k=64)
+    for lo in range(0, len(items), 4096):
+        xi, wi = items[lo:lo + 4096], w[lo:lo + 4096]
+        mg_s.update_batch(xi, wi)
+        uxi, invi = np.unique(xi, return_inverse=True)
+        uci = np.zeros(len(uxi), dtype=np.int64)
+        np.add.at(uci, invi, wi)
+        mg_s2.update_batch(uxi, uci)
+    assert mg_s.to_bytes() == mg_s2.to_bytes()
+
+    # unit weights == unweighted path
+    mg_u1, mg_u2 = MisraGries(k=64), MisraGries(k=64)
+    mg_u1.update_batch(items)
+    mg_u2.update_batch(items, np.ones(len(items), dtype=np.int64))
+    assert mg_u1.to_bytes() == mg_u2.to_bytes()
+
+
+def test_misra_gries_combine_merge_edges():
+    """searchsorted-merge edge cases: batch entirely above / below /
+    interleaved with the current state keys; empty state."""
+    mg = MisraGries(k=8)
+    mg.update_batch(np.array([100, 200, 300], dtype=np.uint64),
+                    np.array([5, 6, 7], dtype=np.int64))
+    # all below
+    mg.update_batch(np.array([1, 2], dtype=np.uint64), np.array([1, 1], dtype=np.int64))
+    # all above
+    mg.update_batch(np.array([900, 1000], dtype=np.uint64), np.array([2, 2], dtype=np.int64))
+    # interleaved incl. exact hits
+    mg.update_batch(np.array([2, 150, 200, 950], dtype=np.uint64),
+                    np.array([3, 1, 4, 1], dtype=np.int64))
+    exact = {100: 5, 200: 10, 300: 7, 1: 1, 2: 4, 900: 2, 1000: 2, 150: 1, 950: 1}
+    ks = np.array(sorted(exact), dtype=np.uint64)
+    est = mg.point(ks)
+    for k, e in zip(ks.tolist(), est.tolist()):
+        assert e <= exact[k]
+        assert exact[k] - e <= mg.norm // (mg.k + 1) + mg.decrement
+    assert np.all(np.diff(mg.items.astype(np.int64)) > 0)  # state stays sorted unique
