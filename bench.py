@@ -77,6 +77,21 @@ MisraGries batch updates also replaced unique(return_inverse)+add.at
 with return_counts / searchsorted-merge (same state bytes, ~3x less
 batch-update CPU).
 
+Round-5 engine change #2 (BENCH_SIDECH=1, default): side-channel
+streaming merge. The faster kernel exposed the collect+driver-fold
+serial tail (~0.6 s at both levels — phase split merge_sec 0.78) as
+the dominant Amdahl term in the N-vs-4N ratio. Build tasks now publish
+their packed state by atomic tmp+rename into a driver-visible
+directory the moment the kernel finishes; aggregate.DirFold unpacks
+and left-folds each state WHILE the remaining tasks run, so the merge
+and the state transfer vanish from the serial tail (the job's collect
+carries metrics-only rows). States byte-identical to the collect path
+(tests/test_fused.py); retries deduped by partition id. Interleaved
+A/B (4 rounds, alternating order): hi 2.12 -> 1.84 s, lo 6.46 ->
+6.11 s => eff-of-mins 0.761 -> 0.829. On a cluster the side dir is
+shared storage — the same requirement (and file layout) as
+build_sketch_checkpointed's durable partials.
+
 Round-4 engine changes (the measured job — tokenize + hash + 6-sketch
 update + merge over the same 200k pages — and the round protocol are
 unchanged): (1) the driver-side fold of collected partials is a
@@ -238,15 +253,23 @@ def build_run(master: str, with_phases: bool = True, n_timed: int = 4) -> dict:
     # fanin=64: all per-partition states fold on the driver (collect is
     # ~0.25 s for 32 x ~2 MB states; a distributed merge round costs a
     # full extra Spark job — measured 7.4 s -> 5.8 s per build)
+    # BENCH_SIDECH=1 (default): side-channel streaming merge — tasks
+    # publish packed states via atomic rename, the driver folds them
+    # while later tasks run (aggregate.DirFold), removing the
+    # collect+fold serial tail (interleaved A/B 2026-08-17: hi 2.12 ->
+    # 1.84 s, lo 6.46 -> 6.11 s; states byte-identical, tests/test_fused.py)
+    sidech = os.environ.get("BENCH_SIDECH", "1") == "1"
     _, m0 = build_token_sketch(
-        pages, _tmpl(), text_col="text", fanin=64, n_hint=BENCH_PARTS, blob_col=blob_col
+        pages, _tmpl(), text_col="text", fanin=64, n_hint=BENCH_PARTS, blob_col=blob_col,
+        side_channel=sidech,
     )
     n_docs = m0["n_rows"]
     walls = []
     for _ in range(n_timed):
         t0 = time.perf_counter()
         sk, metrics = build_token_sketch(
-            pages, _tmpl(), text_col="text", fanin=64, n_hint=BENCH_PARTS, blob_col=blob_col
+            pages, _tmpl(), text_col="text", fanin=64, n_hint=BENCH_PARTS, blob_col=blob_col,
+            side_channel=sidech,
         )
         walls.append(time.perf_counter() - t0)
     wall = min(walls)

@@ -235,6 +235,77 @@ def tree_merge(partials: DataFrame, fanin: int = 16, n_hint: int | None = None) 
     return acc, metrics
 
 
+class DirFold:
+    """Incremental driver-side fold over a side-channel directory.
+
+    Partial-build tasks (``fused._fused_fn(side_dir=...)``) atomically
+    rename their packed state into ``dir_path`` the moment their kernel
+    finishes; this watcher unpacks and left-folds each state WHILE the
+    remaining tasks are still running, so by job end the merge is
+    already done — the driver fold and the state transfer disappear
+    from the job's serial (Amdahl) tail. On a cluster the directory is
+    any shared filesystem (the same requirement as
+    ``build_sketch_checkpointed``'s durable partials); in local mode it
+    is a local tmp dir.
+
+    Deduplication: a file is ``state_p{partition}_a{attempt}.bin``; the
+    kernel is deterministic per partition, so retried/speculative
+    attempts write byte-identical states and only the first file per
+    partition is folded. Fold order is arrival order (a sequential left
+    fold), which stays inside the documented merge-order invariance
+    classes (tests/test_merge_invariance.py)."""
+
+    POLL_S = 0.004
+
+    def __init__(self, dir_path: str) -> None:
+        import threading
+
+        self.dir = dir_path
+        self.acc: Sketch | None = None
+        self.done_parts: set[int] = set()
+        self._stop = threading.Event()
+        self._err: BaseException | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _scan_once(self) -> None:
+        for name in sorted(os.listdir(self.dir)):
+            if not (name.startswith("state_p") and name.endswith(".bin")):
+                continue
+            part = int(name[7:].split("_")[0])
+            if part in self.done_parts:
+                continue
+            with open(os.path.join(self.dir, name), "rb") as f:
+                blob = f.read()
+            sk = unpack_state(blob)
+            self.acc = sk if self.acc is None else self.acc.merge(sk)
+            self.done_parts.add(part)
+
+    def _run(self) -> None:
+        try:
+            while not self._stop.is_set():
+                self._scan_once()
+                self._stop.wait(self.POLL_S)
+            self._scan_once()  # final drain after the job completed
+        except BaseException as e:  # surfaced in finish()
+            self._err = e
+
+    def finish(self, expected_parts: set[int]) -> Sketch:
+        """Join the watcher and return the fold; raises if any expected
+        partition's state never arrived (a task yielded its metrics row
+        without its rename landing — should be impossible)."""
+        self._stop.set()
+        self._thread.join()
+        if self._err is not None:
+            raise self._err
+        missing = expected_parts - self.done_parts
+        if missing:
+            raise RuntimeError(f"side-channel states missing for partitions {sorted(missing)}")
+        if self.acc is None:
+            raise ValueError("no partial states (empty input?)")
+        return self.acc
+
+
 def _driver_fold(blobs: list) -> Sketch:
     """Driver-side fold of <= fanin collected states as a THREADED
     pairwise tree: zlib unpack and the numpy merge kernels both release

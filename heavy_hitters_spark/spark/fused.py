@@ -34,7 +34,13 @@ from ..core.base import Sketch, pack_state
 from .aggregate import PARTIAL_SCHEMA, tree_merge
 
 
-def _fused_fn(template_bytes: bytes, text_col: str, split: str = " ", blob_col: str | None = None):
+def _fused_fn(
+    template_bytes: bytes,
+    text_col: str,
+    split: str = " ",
+    blob_col: str | None = None,
+    side_dir: str | None = None,
+):
     """``blob_col``: when set, incoming rows carry pre-serialized Arrow
     IPC streams (see ``pack_arrow_blobs``) instead of raw text; each
     blob is decoded in Arrow C and fed to the same tokenize->sketch
@@ -132,6 +138,22 @@ def _fused_fn(template_bytes: bytes, text_col: str, split: str = " ", blob_col: 
         ctx = TaskContext.get()
         raw = sk.to_bytes()
         state = pack_state_bytes(raw)  # ship packed; account raw (SPACE)
+        if side_dir is not None:
+            # side-channel publish: atomic tmp+rename the packed state
+            # into the shared dir the moment the kernel finishes, so the
+            # driver's DirFold merges it while sibling tasks still run;
+            # the job row then carries only metrics. Attempt number in
+            # the name keeps retries/speculation collision-free (states
+            # are deterministic per partition; DirFold keeps the first).
+            import os
+
+            pid = ctx.partitionId() if ctx else 0
+            att = ctx.attemptNumber() if ctx else 0
+            tmp = os.path.join(side_dir, f".tmp_p{pid}_a{att}.bin")
+            with open(tmp, "wb") as f:
+                f.write(state)
+            os.rename(tmp, os.path.join(side_dir, f"state_p{pid}_a{att}.bin"))
+            state = b""
         yield pa.RecordBatch.from_pydict(
             {
                 "part_id": [ctx.partitionId() if ctx else -1],
@@ -165,6 +187,7 @@ def build_token_sketch(
     fanin: int = 64,
     n_hint: int | None = None,
     blob_col: str | None = None,
+    side_channel: bool = False,
 ) -> tuple[Sketch, dict]:
     """One-pass fused build over a text column; returns (sketch, metrics).
     Equivalent result to tokens(df) -> key_id_col -> build_sketch, at a
@@ -172,12 +195,50 @@ def build_token_sketch(
     pre-packed blob table from ``pack_arrow_blobs`` (same sketch values
     for all linear sketches; merge-shape classes unchanged)."""
     col = blob_col or text_col
+    if side_channel:
+        return _build_side_channel(df, template, text_col, col, blob_col)
     partials = df.select(col).mapInArrow(
         _fused_fn(pack_state(template), text_col, blob_col=blob_col), PARTIAL_SCHEMA
     )
     if n_hint is None:
         n_hint = df.rdd.getNumPartitions()
     return tree_merge(partials, fanin=fanin, n_hint=n_hint)
+
+
+def _build_side_channel(df, template, text_col, col, blob_col):
+    """Streaming-merge build: tasks publish their packed state through
+    an atomic file rename in a driver-visible directory and the driver
+    folds states AS THEY ARRIVE (aggregate.DirFold), overlapping the
+    entire merge with the map stage instead of paying collect+fold as a
+    serial tail after the last task. Requires a filesystem both driver
+    and executors can reach — free in local mode; on a cluster this is
+    the same shared-storage requirement as build_sketch_checkpointed's
+    durable partials (whose files double as a resume checkpoint)."""
+    import shutil
+    import tempfile
+
+    from .aggregate import DirFold
+
+    side_dir = tempfile.mkdtemp(prefix="sketch_sidech_")
+    try:
+        partials = df.select(col).mapInArrow(
+            _fused_fn(pack_state(template), text_col, blob_col=blob_col, side_dir=side_dir),
+            PARTIAL_SCHEMA,
+        )
+        fold = DirFold(side_dir)
+        rows = partials.collect()
+        if not rows:
+            fold.finish(set())  # raises "empty input"
+        sk = fold.finish({r["part_id"] for r in rows})
+        metrics = {
+            "n_rows": sum(r["n_rows"] for r in rows),
+            "n_updates": sum(r["n_updates"] for r in rows),
+            "wall_ms": sum(r["wall_ms"] for r in rows),
+            "n_partials": len(rows),
+        }
+        return sk, metrics
+    finally:
+        shutil.rmtree(side_dir, ignore_errors=True)
 
 
 def pack_arrow_blobs(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

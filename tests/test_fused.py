@@ -61,6 +61,42 @@ def test_blob_input_build_matches_text_build(spark):
     assert float(sk_t["hll"].estimate()) == float(sk_b["hll"].estimate())
 
 
+def test_side_channel_build_matches_collect_build(spark):
+    """side_channel=True (DirFold streaming merge: tasks publish states
+    via atomic rename, driver folds during the job) must produce the
+    byte-identical sketch and identical metrics as the collect path —
+    the side channel only changes WHERE the states travel and WHEN the
+    fold runs, never the folded values."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(5)
+    a, ma = build_token_sketch(docs, _tmpl(), text_col="text")
+    b, mb = build_token_sketch(docs, _tmpl(), text_col="text", side_channel=True)
+    assert a.to_bytes() == b.to_bytes()
+    assert (ma["n_rows"], ma["n_updates"], ma["n_partials"]) == (
+        mb["n_rows"], mb["n_updates"], mb["n_partials"])
+
+
+def test_dirfold_missing_partition_raises(tmp_path):
+    """DirFold.finish must fail loudly if an expected partition's state
+    file never arrived, and dedupe retried attempts by partition id."""
+    import pytest as _pytest
+
+    from heavy_hitters_spark.core.base import pack_state
+    from heavy_hitters_spark.spark.aggregate import DirFold
+
+    cm = CountMin(width=1 << 8, depth=3, seed_stream=SeedStream(1, 2))
+    cm.update_batch(np.arange(100, dtype=np.uint64))
+    blob = pack_state(cm)
+    (tmp_path / "state_p0_a0.bin").write_bytes(blob)
+    (tmp_path / "state_p0_a1.bin").write_bytes(blob)  # retry: must not double-count
+    fold = DirFold(str(tmp_path))
+    sk = fold.finish({0})
+    assert np.array_equal(sk.table, cm.table)  # folded once, not twice
+
+    fold2 = DirFold(str(tmp_path))
+    with _pytest.raises(RuntimeError, match="missing for partitions"):
+        fold2.finish({0, 3})
+
+
 def test_fused_preagg_routing_mixed_template(spark):
     """The map-side duplicate collapse (PREAGG_SAFE routing) must leave
     every sketch's SEMANTICS intact when a template mixes safe and
@@ -103,16 +139,15 @@ def test_fused_preagg_routing_mixed_template(spark):
         assert e <= cnt
         assert cnt - e <= mg.norm // (mg.k + 1) + 1
 
-    # KLL (raw path): stream-rank accuracy. On this Zipf stream the
-    # median of the raw id STREAM and of the DISTINCT ids differ by
-    # far more than the KLL error bound, so a collapsed feed would
-    # fail this assertion.
+    # KLL (raw path): must have consumed the RAW duplicated stream —
+    # its internal weight n equals the stream length, not the distinct
+    # count (a collapsed feed would record ~n_distinct) — and its
+    # stream-rank estimates stay inside the error bound.
     kll = fused["kll"]
+    assert kll.n == n
+    assert kll.n > 3 * len(exact)  # collapse would have been visible
     sids = np.sort(ids)
     for q in (0.25, 0.5, 0.75):
-        est_q = float(kll.quantile(q)[0] if np.ndim(kll.quantile(q)) else kll.quantile(q))
+        est_q = float(np.asarray(kll.quantile(q)).ravel()[0])
         true_rank = np.searchsorted(sids, est_q, side="right") / n
         assert abs(true_rank - q) < 0.05, (q, true_rank)
-    distinct_median_rank = np.searchsorted(
-        sids, np.median(np.unique(ids)), side="right") / n
-    assert abs(distinct_median_rank - 0.5) > 0.1  # the two medians truly differ
