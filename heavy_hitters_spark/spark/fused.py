@@ -187,14 +187,24 @@ def build_token_sketch(
     fanin: int = 64,
     n_hint: int | None = None,
     blob_col: str | None = None,
-    side_channel: bool = False,
+    side_channel: bool | None = None,
 ) -> tuple[Sketch, dict]:
     """One-pass fused build over a text column; returns (sketch, metrics).
     Equivalent result to tokens(df) -> key_id_col -> build_sketch, at a
     fraction of the JVM->Python transfer. With ``blob_col``, ``df`` is a
     pre-packed blob table from ``pack_arrow_blobs`` (same sketch values
-    for all linear sketches; merge-shape classes unchanged)."""
+    for all linear sketches; merge-shape classes unchanged).
+
+    ``side_channel=None`` (default) resolves to True under a local[*]
+    master — executors share the driver's filesystem, so the streaming
+    DirFold merge (states published by atomic rename, folded while the
+    map stage runs) is strictly better than collect+fold. On a cluster
+    it stays False unless the caller opts in (requires a shared
+    filesystem; same requirement as build_sketch_checkpointed)."""
     col = blob_col or text_col
+    if side_channel is None:
+        master = df.sparkSession.conf.get("spark.master", "")
+        side_channel = master.startswith("local")
     if side_channel:
         return _build_side_channel(df, template, text_col, col, blob_col)
     partials = df.select(col).mapInArrow(
