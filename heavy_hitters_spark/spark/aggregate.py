@@ -65,7 +65,30 @@ PARTIAL_SCHEMA = StructType(
 )
 
 
-def _partial_fn(template_bytes: bytes, id_col: str, weight_col: str | None):
+def publish_state_file(side_dir: str, packed: bytes, ctx) -> None:
+    """Task-side half of the side-channel streaming merge: atomically
+    rename the packed state into the shared directory so the driver's
+    DirFold can fold it while sibling tasks are still running. Attempt
+    number in the name keeps retries/speculation collision-free (the
+    state is deterministic per partition; DirFold folds the first)."""
+    pid = ctx.partitionId() if ctx else 0
+    att = ctx.attemptNumber() if ctx else 0
+    tmp = os.path.join(side_dir, f".tmp_p{pid}_a{att}.bin")
+    with open(tmp, "wb") as f:
+        f.write(packed)
+    os.rename(tmp, os.path.join(side_dir, f"state_p{pid}_a{att}.bin"))
+
+
+def resolve_side_channel(df: DataFrame, side_channel: bool | None) -> bool:
+    """None -> True under a local[*] master (executors share the
+    driver's filesystem); on a cluster the side channel needs a shared
+    directory, so it stays opt-in there."""
+    if side_channel is not None:
+        return side_channel
+    return df.sparkSession.conf.get("spark.master", "").startswith("local")
+
+
+def _partial_fn(template_bytes: bytes, id_col: str, weight_col: str | None, side_dir: str | None = None):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
@@ -87,6 +110,9 @@ def _partial_fn(template_bytes: bytes, id_col: str, weight_col: str | None):
         raw = sk.to_bytes()
         state = pack_state_bytes(raw)  # ship packed; account raw (SPACE)
         ctx = TaskContext.get()
+        if side_dir is not None:
+            publish_state_file(side_dir, state, ctx)
+            state = b""
         yield pd.DataFrame(
             {
                 "part_id": [ctx.partitionId() if ctx else -1],
@@ -132,12 +158,13 @@ def partial_states(
     id_col: str = "id",
     weight_col: str | None = None,
     with_lineage: bool = True,
+    side_dir: str | None = None,
 ) -> DataFrame:
     """Stage 1: one serialized sketch-state row per input partition."""
     cols = [id_col] + ([weight_col] if weight_col else [])
     sel = df.select(*cols, F.input_file_name().alias("__file")) if with_lineage else df.select(*cols)
     return sel.mapInPandas(
-        _partial_fn(pack_state(template), id_col, weight_col), PARTIAL_SCHEMA
+        _partial_fn(pack_state(template), id_col, weight_col, side_dir=side_dir), PARTIAL_SCHEMA
     )
 
 
@@ -334,9 +361,36 @@ def build_sketch(
     weight_col: str | None = None,
     fanin: int = 16,
     with_lineage: bool = False,
+    side_channel: bool | None = None,
 ) -> tuple[Sketch, dict]:
     """End-to-end: partial build + tree merge. ``df`` must already carry
-    the uint32 id column (see spark.keys.key_id_col)."""
+    the uint32 id column (see spark.keys.key_id_col).
+
+    ``side_channel=None`` resolves to True under local[*] masters:
+    tasks publish their packed state via atomic rename and DirFold
+    merges them while the map stage runs, removing the collect+fold
+    serial tail (byte-identical result; see fused.build_token_sketch)."""
+    if resolve_side_channel(df, side_channel):
+        import shutil
+        import tempfile
+
+        side_dir = tempfile.mkdtemp(prefix="sketch_sidech_")
+        try:
+            partials = partial_states(df, template, id_col, weight_col, with_lineage, side_dir=side_dir)
+            fold = DirFold(side_dir)
+            rows = partials.collect()
+            if not rows:
+                fold.finish(set())  # raises "empty input"
+            sk = fold.finish({r["part_id"] for r in rows})
+            metrics = {
+                "n_rows": sum(r["n_rows"] for r in rows),
+                "n_updates": sum(r["n_updates"] for r in rows),
+                "wall_ms": sum(r["wall_ms"] for r in rows),
+                "n_partials": len(rows),
+            }
+            return sk, metrics
+        finally:
+            shutil.rmtree(side_dir, ignore_errors=True)
     partials = partial_states(df, template, id_col, weight_col, with_lineage)
     return tree_merge(partials, fanin=fanin, n_hint=df.rdd.getNumPartitions())
 

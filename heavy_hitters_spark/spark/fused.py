@@ -139,20 +139,9 @@ def _fused_fn(
         raw = sk.to_bytes()
         state = pack_state_bytes(raw)  # ship packed; account raw (SPACE)
         if side_dir is not None:
-            # side-channel publish: atomic tmp+rename the packed state
-            # into the shared dir the moment the kernel finishes, so the
-            # driver's DirFold merges it while sibling tasks still run;
-            # the job row then carries only metrics. Attempt number in
-            # the name keeps retries/speculation collision-free (states
-            # are deterministic per partition; DirFold keeps the first).
-            import os
+            from .aggregate import publish_state_file
 
-            pid = ctx.partitionId() if ctx else 0
-            att = ctx.attemptNumber() if ctx else 0
-            tmp = os.path.join(side_dir, f".tmp_p{pid}_a{att}.bin")
-            with open(tmp, "wb") as f:
-                f.write(state)
-            os.rename(tmp, os.path.join(side_dir, f"state_p{pid}_a{att}.bin"))
+            publish_state_file(side_dir, state, ctx)
             state = b""
         yield pa.RecordBatch.from_pydict(
             {
@@ -202,10 +191,9 @@ def build_token_sketch(
     it stays False unless the caller opts in (requires a shared
     filesystem; same requirement as build_sketch_checkpointed)."""
     col = blob_col or text_col
-    if side_channel is None:
-        master = df.sparkSession.conf.get("spark.master", "")
-        side_channel = master.startswith("local")
-    if side_channel:
+    from .aggregate import resolve_side_channel
+
+    if resolve_side_channel(df, side_channel):
         return _build_side_channel(df, template, text_col, col, blob_col)
     partials = df.select(col).mapInArrow(
         _fused_fn(pack_state(template), text_col, blob_col=blob_col), PARTIAL_SCHEMA

@@ -75,6 +75,17 @@ def test_side_channel_build_matches_collect_build(spark):
         mb["n_rows"], mb["n_updates"], mb["n_partials"])
 
 
+def test_build_sketch_side_channel_matches_collect(spark):
+    """The generic (non-fused) build_sketch must also produce the
+    byte-identical sketch through the DirFold side channel."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ids = tokens(docs).withColumn("id", key_id_col("token")).repartition(5)
+    a, ma = build_sketch(ids, _tmpl(), id_col="id", side_channel=False)
+    b, mb = build_sketch(ids, _tmpl(), id_col="id", side_channel=True)
+    assert a.to_bytes() == b.to_bytes()
+    assert (ma["n_rows"], ma["n_updates"]) == (mb["n_rows"], mb["n_updates"])
+
+
 def test_dirfold_missing_partition_raises(tmp_path):
     """DirFold.finish must fail loudly if an expected partition's state
     file never arrived, and dedupe retried attempts by partition id."""
