@@ -162,3 +162,33 @@ def test_fused_preagg_routing_mixed_template(spark):
         est_q = float(np.asarray(kll.quantile(q)).ravel()[0])
         true_rank = np.searchsorted(sids, est_q, side="right") / n
         assert abs(true_rank - q) < 0.05, (q, true_rank)
+
+
+def test_prepared_builder_matches_one_shot(spark):
+    """TokenSketchBuilder (plan analyzed once, re-collected per run)
+    must produce the byte-identical sketch and metrics as the one-shot
+    build_token_sketch, and successive runs must be independent (equal
+    bytes run-to-run — each task unpacks a fresh template)."""
+    from heavy_hitters_spark.spark.fused import TokenSketchBuilder
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(5)
+    one, m1 = build_token_sketch(docs, _tmpl(), text_col="text")
+    with TokenSketchBuilder(docs, _tmpl(), text_col="text") as b:
+        r1, mr1 = b.run()
+        r2, mr2 = b.run()
+    assert r1.to_bytes() == one.to_bytes()
+    assert r2.to_bytes() == one.to_bytes()
+    assert (mr1["n_rows"], mr1["n_updates"]) == (m1["n_rows"], m1["n_updates"])
+    assert (mr2["n_rows"], mr2["n_updates"]) == (m1["n_rows"], m1["n_updates"])
+
+
+def test_prepared_builder_collect_path(spark):
+    """side_channel=False builder goes through tree_merge and must
+    agree byte-for-byte too."""
+    from heavy_hitters_spark.spark.fused import TokenSketchBuilder
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(3)
+    one, _ = build_token_sketch(docs, _tmpl(), text_col="text", side_channel=False)
+    with TokenSketchBuilder(docs, _tmpl(), text_col="text", side_channel=False) as b:
+        r1, _m = b.run()
+    assert r1.to_bytes() == one.to_bytes()
