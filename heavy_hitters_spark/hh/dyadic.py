@@ -74,6 +74,12 @@ class DyadicHH(Sketch):
         if epsilon is None:
             epsilon = phi / 2.0  # reference experiment convention
         assert phi > epsilon, "reference guard: phi must exceed epsilon (sketch.c:27)"
+        if (width is None) != (depth is None):
+            raise ValueError(
+                "width/depth override must be given together (the reference's "
+                "-w/-h flags always travel as a pair); a lone value would "
+                "silently fall back to (eps, delta)-derived dimensions"
+            )
         self.phi, self.epsilon, self.delta = phi, epsilon, delta
         self.m, self.gran = int(m), int(gran)
         self.k = 1 << gran
