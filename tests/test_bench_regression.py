@@ -185,7 +185,8 @@ def test_main_end_to_end_with_stubbed_runs(tmp_path, monkeypatch, capsys):
     assert rec["scaling_efficiency_n_to_4n"] > 0
     assert rec["regressions_baseline_coverage"] == "2/2"
     assert set(rec["regressions"]) == {"lang_id"}
-    assert len(rec["rounds_valid"]) == len(rec["rounds_sanity_ok"]) == 5
+    # 7 = the pre-registered round-5 round-count amendment
+    assert len(rec["rounds_valid"]) == len(rec["rounds_sanity_ok"]) == 7
     full = json.loads((bdir / "last_run.json").read_text())
     assert full["lo_brackets"] and full["regressions_baseline_sources"]
     assert "query timings" in (bdir / "BASELINE.md").read_text()
