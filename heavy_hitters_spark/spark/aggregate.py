@@ -82,9 +82,14 @@ def publish_state_file(side_dir: str, packed: bytes, ctx) -> None:
 def resolve_side_channel(df: DataFrame, side_channel: bool | None) -> bool:
     """None -> True under a local[*] master (executors share the
     driver's filesystem); on a cluster the side channel needs a shared
-    directory, so it stays opt-in there."""
+    directory, so it stays opt-in there. ``SKETCH_SIDECH=0|1`` in the
+    environment overrides the default (kill-switch for A/B isolation);
+    an explicit ``side_channel=`` argument still wins over both."""
     if side_channel is not None:
         return side_channel
+    env = os.environ.get("SKETCH_SIDECH")
+    if env in ("0", "1"):
+        return env == "1"
     return df.sparkSession.conf.get("spark.master", "").startswith("local")
 
 
