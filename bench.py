@@ -136,6 +136,31 @@ on the N->4N ratio is mixed — the motivation is throughput and the
 removal of the noisy fixed terms that made 2-wave hi walls a straggler
 lottery, not ratio engineering.
 
+Round-5 engine change #4 (BENCH_INPUT=mmap, the new measured default;
+job definition and protocol unchanged; documented + A/B'd BEFORE this
+round's final official runs): memory-mapped side-file input. The input
+partitions are staged ONCE (untimed) as Arrow IPC stream files on
+tmpfs (fused.materialize_arrow_files) and every timed task receives
+one PATH, memory-maps its file, and iterates batches zero-copy
+(fused path_col mode) — input bytes never cross the JVM->Python
+socket. Why: per-task profiling at 800k pages showed hi-level workers
+spending up to 109 core-s/pass BLOCKED on JVM blob serving in
+degraded host-bandwidth phases (vs ~7 s clean) — with 8 serving
+threads + 8 kernels the serving JVM is both a 16-busy-core tax and
+the single largest noise amplifier in the ratio. Interleaved A/B
+(alternating bracketed rounds, same protocol): 800k — mmap eff
+0.876/0.715 with hi walls 4.59-5.56 s vs blob eff 0.460/0.674 with hi
+walls 7.9-20.1 s (serve-blocked); 200k — mmap eff 0.885/0.889/0.385*
+vs blob 0.662/0.267*/0.726 (*host-stall rounds, sanity-flagged).
+Absolute hi throughput is equal-or-better under mmap (200k: 1.57 vs
+1.50 s clean — parity; 800k: 4.59 vs 7.9 s best — decisively better),
+so the ratio gain comes from removing a hi-level bottleneck, not from
+slowing the N level. Sketch states are byte-identical across
+text/blob/mmap inputs (tests/test_fused.py). Cluster analog:
+executors scanning their own split from storage / PySpark 4's Python
+Data Source API (the scan runs in the Python worker); the tmpfs stage
+is the same shared-storage requirement as the side-channel merge.
+
 Round-4 engine changes (the measured job — tokenize + hash + 6-sketch
 update + merge over the same 200k pages — and the round protocol are
 unchanged): (1) the driver-side fold of collected partials is a
@@ -173,6 +198,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -281,13 +307,35 @@ def build_run(master: str, with_phases: bool = True, n_timed: int = 4) -> dict:
     # partition-preserving) so a timed pass ships ~7 opaque binary rows
     # per partition, parsed zero-copy in the worker, instead of
     # re-running the per-row columnar->Arrow conversion each pass.
-    from heavy_hitters_spark.spark.fused import pack_arrow_blobs
+    from heavy_hitters_spark.spark.fused import (
+        materialize_arrow_files,
+        pack_arrow_blobs,
+        paths_df,
+    )
 
-    input_mode = os.environ.get("BENCH_INPUT", "blob")
+    # BENCH_INPUT=mmap (default; round-5 change #3, A/B'd in
+    # BENCH/BASELINE.md): stage each partition as an Arrow IPC file on
+    # tmpfs ONCE (untimed) and have every timed task memory-map its
+    # file — the input bytes never cross the JVM->Python socket, which
+    # profiling showed is both a hi-level tax (8 serving threads + 8
+    # kernels = 16 busy cores) and THE noise amplifier in degraded
+    # host-bandwidth phases (workers measured up to 109 core-s/pass
+    # blocked on blob serving vs ~7 s clean). Cluster analog: executors
+    # scan their own split / Python Data Source API. blob/text modes
+    # kept for A/B.
+    input_mode = os.environ.get("BENCH_INPUT", "mmap")
     base = spark.read.parquet(PAGES_DIR).select("text").repartition(BENCH_PARTS)
     blob_col = "blob" if input_mode == "blob" else None
-    pages = (pack_arrow_blobs(base, ["text"]) if blob_col else base).cache()
-    pages.count()  # materialize the executor cache (untimed)
+    path_col = "path" if input_mode == "mmap" else None
+    mmap_dir = None
+    if path_col:
+        mmap_root = os.environ.get("BENCH_MMAP_DIR", "/dev/shm")
+        mmap_dir = tempfile.mkdtemp(prefix="bench_mmap_", dir=mmap_root)
+        files = materialize_arrow_files(base, mmap_dir, ["text"])
+        pages = paths_df(spark, files)
+    else:
+        pages = (pack_arrow_blobs(base, ["text"]) if blob_col else base).cache()
+    pages.count()  # materialize the executor cache / paths (untimed)
     # steady-state measurement: full untimed warm-up pass (JIT + heap
     # first-touch — this sandbox's cold page faults are ~100x slower
     # than reuse), then n_timed passes; this process's wall is their MIN
@@ -318,14 +366,14 @@ def build_run(master: str, with_phases: bool = True, n_timed: int = 4) -> dict:
     if prepared:
         builder = TokenSketchBuilder(
             pages, _tmpl(), text_col="text", fanin=64, n_hint=BENCH_PARTS,
-            blob_col=blob_col, side_channel=sidech,
+            blob_col=blob_col, side_channel=sidech, path_col=path_col,
         )
         build_once = builder.run
     else:
         def build_once():
             return build_token_sketch(
                 pages, _tmpl(), text_col="text", fanin=64, n_hint=BENCH_PARTS,
-                blob_col=blob_col, side_channel=sidech,
+                blob_col=blob_col, side_channel=sidech, path_col=path_col,
             )
     _, m0 = build_once()
     n_docs = m0["n_rows"]
@@ -337,8 +385,16 @@ def build_run(master: str, with_phases: bool = True, n_timed: int = 4) -> dict:
     wall = min(walls)
     if prepared:
         builder.close()
-    phases = phase_split(pages, n_docs, blob_col=blob_col) if with_phases else None
+    phases = (
+        phase_split(pages, n_docs, blob_col=blob_col, path_col=path_col)
+        if with_phases
+        else None
+    )
     spark.stop()
+    if mmap_dir is not None:
+        import shutil
+
+        shutil.rmtree(mmap_dir, ignore_errors=True)
     return {
         "master": master,
         "calib_sec": round(calib, 4),
@@ -353,7 +409,9 @@ def build_run(master: str, with_phases: bool = True, n_timed: int = 4) -> dict:
     }
 
 
-def phase_split(pages, n_docs: int, blob_col: str | None = None) -> dict:
+def phase_split(
+    pages, n_docs: int, blob_col: str | None = None, path_col: str | None = None
+) -> dict:
     """Per-phase timing split (the reference times create/update/query
     separately — src/benchmark_hh.c:329-466; we add merge, which has no
     single-node analog): create = template construction+serde; update =
@@ -379,8 +437,8 @@ def phase_split(pages, n_docs: int, blob_col: str | None = None) -> dict:
     # under host memory pressure silently turns the merge timing into a
     # full recompute of the update phase)
     tmp = tempfile.mkdtemp(prefix="bench_partials_")
-    partials = pages.select(blob_col or "text").mapInArrow(
-        _fused_fn(tb, "text", blob_col=blob_col), PARTIAL_SCHEMA
+    partials = pages.select(blob_col or path_col or "text").mapInArrow(
+        _fused_fn(tb, "text", blob_col=blob_col, path_col=path_col), PARTIAL_SCHEMA
     )
     t0 = time.perf_counter()
     partials.write.mode("overwrite").parquet(tmp)  # materialize: update phase

@@ -41,6 +41,7 @@ def _fused_fn(
     split: str = " ",
     blob_col: str | None = None,
     side_dir: str | None = None,
+    path_col: str | None = None,
 ):
     """``blob_col``: when set, incoming rows carry pre-serialized Arrow
     IPC streams (see ``pack_arrow_blobs``) instead of raw text; each
@@ -48,7 +49,20 @@ def _fused_fn(
     loop. The JVM then serves a handful of opaque binary rows per
     partition instead of converting ~10^5 string rows per build — the
     per-row columnar->Arrow conversion overhead was measured at ~17 us
-    per row, a pure serving-side tax at high parallelism."""
+    per row, a pure serving-side tax at high parallelism.
+
+    ``path_col``: when set, incoming rows carry PATHS to Arrow IPC
+    stream files (see ``materialize_arrow_files``); each task
+    memory-maps its file and iterates batches zero-copy, so the input
+    bytes never cross the JVM->Python socket at all — the JVM ships
+    one short string per task. This is the local-mode analog of
+    executors reading their own split from shared storage (and of
+    PySpark 4's Python Data Source API, where the scan itself runs in
+    the Python worker); measured motivation in BENCH/BASELINE.md: at
+    local[8] x 800k pages the workers spent up to 109 core-seconds per
+    pass BLOCKED on JVM blob serving in degraded host-bandwidth phases
+    (vs ~7 s clean), the single largest noise amplifier in the N-vs-4N
+    ratio."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -81,7 +95,16 @@ def _fused_fn(
 
         def text_batches():
             for b in batches:
-                if blob_col is None:
+                if path_col is not None:
+                    for p in b.column(path_col).to_pylist():
+                        # zero-copy: batches are slices over the mapping
+                        # (tmpfs pages, no socket transfer, no copy); the
+                        # map must stay open while its batches are
+                        # consumed — each yielded batch is fully
+                        # processed before the generator resumes
+                        with pa.memory_map(p, "r") as mm:
+                            yield from pa.ipc.open_stream(mm)
+                elif blob_col is None:
                     yield b
                 else:
                     for blob in b.column(blob_col):
@@ -207,12 +230,16 @@ def build_token_sketch(
     n_hint: int | None = None,
     blob_col: str | None = None,
     side_channel: bool | None = None,
+    path_col: str | None = None,
 ) -> tuple[Sketch, dict]:
     """One-pass fused build over a text column; returns (sketch, metrics).
     Equivalent result to tokens(df) -> key_id_col -> build_sketch, at a
     fraction of the JVM->Python transfer. With ``blob_col``, ``df`` is a
     pre-packed blob table from ``pack_arrow_blobs`` (same sketch values
-    for all linear sketches; merge-shape classes unchanged).
+    for all linear sketches; merge-shape classes unchanged). With
+    ``path_col``, ``df`` carries Arrow-IPC file paths from
+    ``materialize_arrow_files`` and each task memory-maps its file
+    (input bytes never cross the JVM->Python socket).
 
     ``side_channel=None`` (default) resolves to True under a local[*]
     master — executors share the driver's filesystem, so the streaming
@@ -220,20 +247,21 @@ def build_token_sketch(
     map stage runs) is strictly better than collect+fold. On a cluster
     it stays False unless the caller opts in (requires a shared
     filesystem; same requirement as build_sketch_checkpointed)."""
-    col = blob_col or text_col
+    col = blob_col or path_col or text_col
     from .aggregate import resolve_side_channel
 
     if resolve_side_channel(df, side_channel):
-        return _build_side_channel(df, template, text_col, col, blob_col)
+        return _build_side_channel(df, template, text_col, col, blob_col, path_col)
     partials = df.select(col).mapInArrow(
-        _fused_fn(pack_state(template), text_col, blob_col=blob_col), PARTIAL_SCHEMA
+        _fused_fn(pack_state(template), text_col, blob_col=blob_col, path_col=path_col),
+        PARTIAL_SCHEMA,
     )
     if n_hint is None:
         n_hint = df.rdd.getNumPartitions()
     return tree_merge(partials, fanin=fanin, n_hint=n_hint)
 
 
-def _build_side_channel(df, template, text_col, col, blob_col):
+def _build_side_channel(df, template, text_col, col, blob_col, path_col=None):
     """Streaming-merge build: tasks publish their packed state through
     an atomic file rename in a driver-visible directory and the driver
     folds states AS THEY ARRIVE (aggregate.DirFold), overlapping the
@@ -250,7 +278,10 @@ def _build_side_channel(df, template, text_col, col, blob_col):
     side_dir = tempfile.mkdtemp(prefix="sketch_sidech_")
     try:
         partials = df.select(col).mapInArrow(
-            _fused_fn(pack_state(template), text_col, blob_col=blob_col, side_dir=side_dir),
+            _fused_fn(
+                pack_state(template), text_col, blob_col=blob_col,
+                side_dir=side_dir, path_col=path_col,
+            ),
             PARTIAL_SCHEMA,
         )
         fold = DirFold(side_dir)
@@ -297,19 +328,21 @@ class TokenSketchBuilder:
         n_hint: int | None = None,
         blob_col: str | None = None,
         side_channel: bool | None = None,
+        path_col: str | None = None,
     ) -> None:
         import tempfile
 
         from .aggregate import resolve_side_channel
 
-        col = blob_col or text_col
+        col = blob_col or path_col or text_col
         self._fanin = fanin
         self._n_hint = n_hint if n_hint is not None else df.rdd.getNumPartitions()
         self._side = resolve_side_channel(df, side_channel)
         self._side_dir = tempfile.mkdtemp(prefix="sketch_sidech_") if self._side else None
         self._partials = df.select(col).mapInArrow(
             _fused_fn(
-                pack_state(template), text_col, blob_col=blob_col, side_dir=self._side_dir
+                pack_state(template), text_col, blob_col=blob_col,
+                side_dir=self._side_dir, path_col=path_col,
             ),
             PARTIAL_SCHEMA,
         )
@@ -371,3 +404,58 @@ def pack_arrow_blobs(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
     sel = df.select(*cols) if cols else df
     return sel.mapInArrow(pack, "blob binary")
+
+
+def materialize_arrow_files(
+    df: DataFrame, out_dir: str, cols: list[str] | None = None
+) -> list[str]:
+    """Write each partition's batches as ONE Arrow IPC stream file under
+    ``out_dir`` (atomic tmp+rename, partition-preserving — one file per
+    input partition, batches in order). Returns the file paths sorted by
+    partition id. Empty partitions produce no file.
+
+    Pairs with ``path_col`` builds: point ``out_dir`` at RAM-backed
+    storage (tmpfs — unevictable without swap, same rationale as the
+    SPARK_GRAFT_LOCAL_DIR hook) and downstream timed builds read the
+    input via per-task memory maps instead of JVM->Python Arrow
+    serving. On a cluster the analog is a shared-storage staging dir —
+    the same requirement as build_sketch_checkpointed's durable
+    partials; or skip staging entirely and scan with a Python-side
+    reader (PySpark 4 Python Data Source API)."""
+
+    def write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        att = ctx.attemptNumber() if ctx else 0
+        tmp = os.path.join(out_dir, f".tmp_p{pid}_a{att}")
+        writer = None
+        n = 0
+        with open(tmp, "wb") as f:
+            for b in batches:
+                if writer is None:
+                    writer = pa.ipc.new_stream(f, b.schema)
+                writer.write_batch(b)
+                n += b.num_rows
+            if writer is not None:
+                writer.close()
+        if writer is None:  # empty partition: no schema, no file
+            os.unlink(tmp)
+            return
+        final = os.path.join(out_dir, f"part_{pid:05d}.arrow")
+        os.rename(tmp, final)
+        yield pa.RecordBatch.from_pydict({"part_id": [pid], "path": [final]})
+
+    sel = df.select(*cols) if cols else df
+    rows = sel.mapInArrow(write, "part_id long, path string").collect()
+    return [r["path"] for r in sorted(rows, key=lambda r: r["part_id"])]
+
+
+def paths_df(spark, paths: list[str]) -> DataFrame:
+    """One-row-per-slice paths DataFrame: exactly one task per file in
+    a downstream ``path_col`` build (sc.parallelize with an explicit
+    slice count — createDataFrame of a local collection costs ~200 ms
+    PER SLICE in this sandbox, see functions/multimodal.py)."""
+    rdd = spark.sparkContext.parallelize([(p,) for p in paths], max(len(paths), 1))
+    return spark.createDataFrame(rdd, "path string")

@@ -192,3 +192,70 @@ def test_prepared_builder_collect_path(spark):
     with TokenSketchBuilder(docs, _tmpl(), text_col="text", side_channel=False) as b:
         r1, _m = b.run()
     assert r1.to_bytes() == one.to_bytes()
+
+
+def test_mmap_input_build_matches_text_build(spark, tmp_path):
+    """materialize_arrow_files + path_col build must produce the
+    IDENTICAL merged sketch as the plain text-column build — the
+    side-file layer only changes where tasks READ the input from
+    (memory-mapped Arrow IPC files instead of JVM->Python serving),
+    never the stream. One file per non-empty partition, in partition
+    order; empty partitions produce no file."""
+    import numpy as np
+
+    from heavy_hitters_spark.core import CountMin, HLL, MultiSketch, SeedStream
+    from heavy_hitters_spark.spark.fused import (
+        build_token_sketch,
+        materialize_arrow_files,
+        paths_df,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("text")
+        .repartition(4)
+    )
+
+    def tmpl():
+        return MultiSketch({
+            "cm": CountMin(width=1 << 12, depth=3, seed_stream=SeedStream(1, 2)),
+            "hll": HLL(p=12),
+        })
+
+    sk_t, m_t = build_token_sketch(docs, tmpl(), text_col="text", n_hint=4)
+    paths = materialize_arrow_files(docs, str(tmp_path), ["text"])
+    assert len(paths) == 4 and paths == sorted(paths)  # partition order
+    pdf = paths_df(spark, paths)
+    assert pdf.rdd.getNumPartitions() == 4  # one file per task
+    sk_p, m_p = build_token_sketch(pdf, tmpl(), text_col="text", n_hint=4, path_col="path")
+    assert m_t["n_rows"] == m_p["n_rows"]
+    assert m_t["n_updates"] == m_p["n_updates"]
+    assert np.array_equal(sk_t["cm"].table, sk_p["cm"].table)
+    assert float(sk_t["hll"].estimate()) == float(sk_p["hll"].estimate())
+
+
+def test_materialize_arrow_files_empty_partition(spark, tmp_path):
+    """A partition with no rows yields no side file (no schema to
+    write); the build over the remaining files still covers every row
+    exactly once."""
+    from heavy_hitters_spark.core import CountMin, SeedStream
+    from heavy_hitters_spark.spark.fused import (
+        build_token_sketch,
+        materialize_arrow_files,
+        paths_df,
+    )
+
+    docs = spark.createDataFrame([("a b c",), ("a d",)], "text string")
+    # range-partition 2 rows into 8 partitions -> >= 6 empty ones
+    docs8 = docs.repartition(8)
+    paths = materialize_arrow_files(docs8, str(tmp_path), ["text"])
+    assert 1 <= len(paths) <= 2
+    sk, m = build_token_sketch(
+        paths_df(spark, paths),
+        CountMin(width=1 << 10, depth=3, seed_stream=SeedStream(1, 2)),
+        text_col="text",
+        path_col="path",
+        n_hint=len(paths),
+    )
+    assert m["n_rows"] == 2
+    assert m["n_updates"] == 5
