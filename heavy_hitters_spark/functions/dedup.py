@@ -514,10 +514,12 @@ def token_hashes_col(text_col):
 
 def simhash_col(text_col, seed: int = 0x51AA):
     """64-bit SimHash over whitespace tokens (sign of per-bit weight
-    sums). Token hashing is JVM-side; the Arrow kernel does 64
-    (shift, mask, segmented-sum) C passes over the flattened hash
-    vector — no per-token Python. Bit-identical to the driver-side
-    xxh64+splitmix64 chain."""
+    sums). Token hashing is JVM-side; the Arrow kernel unpacks all 64
+    bits of the flattened hash vector into one (tokens, 64) bit matrix
+    and takes a single segmented sum over it (falls back to 64
+    shift+mask+segmented-sum passes for docs with >= 2^16 tokens) — no
+    per-token Python either way. Bit-identical to the driver-side
+    xxh64+splitmix64 chain and to the loop form (unit-pinned)."""
     from pyspark.sql.functions import pandas_udf
 
     from .segmented import flatten_segments, segment_sum
@@ -533,13 +535,32 @@ def simhash_col(text_col, seed: int = 0x51AA):
         out = np.zeros(n, dtype=np.int64)
         if len(flat):
             hv = splitmix64(flat, seed)
-            sh = np.zeros(len(lens_nz), dtype=np.uint64)
-            one = np.uint64(1)
-            for b in range(64):
-                ones = ((hv >> np.uint64(b)) & one).astype(np.int64)
-                pop = segment_sum(ones, starts)  # per-doc popcount of bit b
-                # sign of sum(+-1) == (2*pop > len)
-                sh |= ((2 * pop > lens_nz).astype(np.uint64)) << np.uint64(b)
+            if len(lens_nz) and lens_nz.max() < (1 << 16):
+                # vectorized form: unpack all 64 bits at once (little-
+                # endian byte view + bitorder="little" puts bit b of the
+                # uint64 in column b) and do ONE segmented reduce over
+                # the (n_tokens, 64) matrix — ~4x less memory traffic
+                # than 64 separate shift+mask+reduceat passes. uint16
+                # accumulator is exact for per-doc token counts < 2^16
+                # (the guard above); longer docs take the loop below.
+                bits = np.unpackbits(
+                    hv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                )
+                pop = np.add.reduceat(bits.astype(np.uint16), starts, axis=0)
+                cmp = (2 * pop.astype(np.int64)) > lens_nz[:, None]
+                sh = (
+                    np.packbits(cmp.astype(np.uint8), axis=1, bitorder="little")
+                    .view(np.uint64)
+                    .ravel()
+                )
+            else:
+                sh = np.zeros(len(lens_nz), dtype=np.uint64)
+                one = np.uint64(1)
+                for b in range(64):
+                    ones = ((hv >> np.uint64(b)) & one).astype(np.int64)
+                    pop = segment_sum(ones, starts)  # per-doc popcount of bit b
+                    # sign of sum(+-1) == (2*pop > len)
+                    sh |= ((2 * pop > lens_nz).astype(np.uint64)) << np.uint64(b)
             out[nz] = sh.view(np.int64)
         return pd.Series(out)
 

@@ -652,3 +652,38 @@ def test_widen_narrow_scan_contract(spark):
     assert widened.rdd.getNumPartitions() == n_min
     wide = df.repartition(n_min + 3)
     assert _widen_narrow_scan(wide) is wide  # untouched, no added shuffle
+
+
+def test_simhash_vectorized_equals_loop_form():
+    """The unpackbits matrix form of the simhash kernel must be
+    bit-identical to the 64-pass shift+mask loop (the >= 2^16-token
+    fallback) on the same hash vectors — including ties (2*pop == len,
+    sign bit 0) and single-token docs."""
+    import numpy as np
+
+    from heavy_hitters_spark.functions.dedup import splitmix64
+
+    rng = np.random.RandomState(7)
+    lens = [1, 2, 3, 17, 250, 4096]
+    segs = [rng.randint(0, 2**63, size=m).astype(np.uint64) for m in lens]
+    flat = np.concatenate(segs)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(np.array(lens[:-1]), out=starts[1:])
+    lens_nz = np.array(lens, dtype=np.int64)
+    hv = splitmix64(flat, 0x51AA)
+
+    # loop form (reference)
+    sh_ref = np.zeros(len(lens), dtype=np.uint64)
+    one = np.uint64(1)
+    for b in range(64):
+        ones = ((hv >> np.uint64(b)) & one).astype(np.int64)
+        pop = np.add.reduceat(ones, starts)
+        sh_ref |= ((2 * pop > lens_nz).astype(np.uint64)) << np.uint64(b)
+
+    # vectorized form (mirrors simhash_col's fast path)
+    bits = np.unpackbits(hv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    pop_m = np.add.reduceat(bits.astype(np.uint16), starts, axis=0)
+    cmp = (2 * pop_m.astype(np.int64)) > lens_nz[:, None]
+    sh_vec = np.packbits(cmp.astype(np.uint8), axis=1, bitorder="little").view(np.uint64).ravel()
+
+    assert np.array_equal(sh_ref, sh_vec)
