@@ -330,6 +330,8 @@ def build_run(master: str, with_phases: bool = True, n_timed: int = 4) -> dict:
     mmap_dir = None
     if path_col:
         mmap_root = os.environ.get("BENCH_MMAP_DIR", "/dev/shm")
+        if not os.path.isdir(mmap_root):  # no tmpfs: any local dir still
+            mmap_root = None              # works, just page-cache-backed
         mmap_dir = tempfile.mkdtemp(prefix="bench_mmap_", dir=mmap_root)
         files = materialize_arrow_files(base, mmap_dir, ["text"])
         pages = paths_df(spark, files)
