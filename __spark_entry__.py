@@ -622,9 +622,16 @@ def _q_hot_shingle_stats(spark, sf):
     keyed by shingle string (SQL) or its xxhash64 (Spark) — 64-bit
     collisions would only merge buckets, and the planted corpus has
     none (hash_match gates it)."""
-    from heavy_hitters_spark.functions.dedup import _doc_shingle_hashes, hot_bucket_stats
+    from heavy_hitters_spark.functions.dedup import (
+        _doc_shingle_hashes,
+        _widen_narrow_scan,
+        hot_bucket_stats,
+    )
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    # same narrow-scan widening as the pair queries: the shingle
+    # generation is the CPU-heavy stage and the corpus parquet is 1-2
+    # splits at bench scale (round 6: 13.2 s -> ~1.5 s at sf1.0)
+    docs = _widen_narrow_scan(spark.read.parquet(f"{sf}/documents.parquet"))
     sh = _doc_shingle_hashes(docs, 3, "text", "doc_id")
     return hot_bucket_stats(sh, ["h"], max_bucket_size=5)
 

@@ -27,6 +27,22 @@ from ..core.hashing import splitmix64
 _M64 = 0xFFFFFFFFFFFFFFFF
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized branch-free SWAR popcount over a uint64 array (the
+    classic bit-slicing identity). One pass over the words — measured
+    ~2.5x the 256-entry-LUT gather form on the pair-verify matrices
+    (no per-byte gather, no 8x uint8 temporaries)."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    with np.errstate(over="ignore"):  # the *h01 fold wraps by design
+        return ((x * h01) >> np.uint64(56)).astype(np.uint8)
+
+
 # ----------------------------------------------------------------------
 # exact dedup
 # ----------------------------------------------------------------------
@@ -283,10 +299,53 @@ def _bucket_pairs_all_kernel(
     )
 
 
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total size of the files backing ``df``'s scan (None when the
+    lineage has no file source or the files are not locally statable).
+    Used only to pick a partition count for the CPU-bound kernels —
+    a wrong answer degrades parallelism, never correctness."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 (non-file sources)
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+# scan-size threshold above which the quadratic-kernel exchanges use the
+# session's full shuffle width instead of the quarter-width tuned for
+# tiny inputs (see _kernel_partitions): below it, per-task fixed costs
+# (~40 ms) dominate ms-scale kernel slices (round-5 sweep at sf0.1:
+# n=8 beat n=32 by ~1 s steady-state); above it the pair kernels are
+# seconds-per-task CPU-bound and quarter width just idles 3/4 of the
+# configured parallelism (measured round 6 at sf1.0, ~5.9 MB scan:
+# shingle stage 9.2 s on the raw 2-split scan, 1.1 s at full width).
+_KERNEL_WIDE_BYTES = 4 << 20
+
+
 def _kernel_partitions(df: DataFrame) -> int:
     """Partition count for CPU-quadratic bucket kernels (see the
-    rationale at the _bucket_pairs_all_kernel call site)."""
-    return max(4, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")) // 4)
+    rationale at the _bucket_pairs_all_kernel call site). Scale-adaptive:
+    quarter shuffle width for tiny scans (task overhead dominates),
+    full shuffle width once the backing scan is big enough that each
+    task holds substantial kernel work — on a real cluster
+    spark.sql.shuffle.partitions is the configured wide value and any
+    real corpus clears the threshold, so this resolves to full width."""
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nbytes = _input_bytes(df)
+    if nbytes is not None and nbytes >= _KERNEL_WIDE_BYTES:
+        return max(4, n_shuffle)
+    return max(4, n_shuffle // 4)
 
 
 def _widen_narrow_scan(df: DataFrame) -> DataFrame:
@@ -629,7 +688,13 @@ def near_dup_pairs_simhash(
     # (np boundary detection) — one Python invocation per partition, not
     # per bucket (applyInPandas over thousands of tiny buckets measured
     # ~4 s of pure per-group overhead on 5k docs). Hot buckets cost
-    # m^2/2 C-speed xor+LUT-popcount word ops in ~32 MB row blocks.
+    # m^2/2 C-speed xor+SWAR-popcount word ops in upper-triangle row
+    # blocks: vs the round-5 kernel (full-row blocks + 256-entry LUT
+    # gather) the triangle blocking halves the xor volume and the
+    # branch-free SWAR popcount (one pass over the xor words, no gather,
+    # no 8x uint8 materialization) replaces three full-size temporaries —
+    # measured 5.1x on the sf1.0 hottest bucket (m=12605: 6.5 -> 1.3 s,
+    # identical pairs).
     mh = int(max_hamming)
 
     def part_fn(batches):
@@ -649,7 +714,6 @@ def near_dup_pairs_simhash(
         ids_s, keys = ids0[order], key[order]
         sig_s = pdf["sh"].to_numpy()[order].astype(np.int64).view(np.uint64)
         bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
-        lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
         out_a, out_b, out_h = [], [], []
         for g0, g1 in zip(bounds[:-1], bounds[1:]):
             m = int(g1 - g0)
@@ -659,13 +723,17 @@ def near_dup_pairs_simhash(
             block = max(1, (1 << 22) // m)  # ~32 MB xor blocks
             for i0 in range(0, m - 1, block):
                 i1 = min(i0 + block, m - 1)
-                x = sig[i0:i1, None] ^ sig[None, :]
-                pc = lut[x.view(np.uint8)].reshape(i1 - i0, m, 8).sum(axis=2, dtype=np.uint8)
+                # columns j >= i0 only: the sub-diagonal half of each
+                # row block can never satisfy the strict upper-triangle
+                # condition, so it is never computed
+                x = sig[i0:i1, None] ^ sig[None, i0:]
+                pc = _popcount64(x)
                 ri, ci = np.nonzero(pc <= mh)
-                keep = ci > (ri + i0)  # strict upper triangle: doc_a < doc_b
-                out_a.append(ids[ri[keep] + i0])
-                out_b.append(ids[ci[keep]])
-                out_h.append(pc[ri[keep], ci[keep]].astype(np.int64))
+                keep = ci > ri  # strict upper triangle: doc_a < doc_b
+                ri, ci = ri[keep], ci[keep]
+                out_a.append(ids[ri + i0])
+                out_b.append(ids[ci + i0])
+                out_h.append(pc[ri, ci].astype(np.int64))
         if out_a:
             yield pd.DataFrame(
                 {

@@ -64,24 +64,61 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax over per-language marker-token hit
-    counts, 'und' (undetermined) when no marker hits at all. The token
-    split is materialized once in a separate projection so the four
-    per-language filters share it instead of re-splitting."""
-    df = df.withColumn("__toks", F.split(F.lower(F.col(text_col)), " "))
-    toks = F.col("__toks")
-    scores = {lg: _marker_hits(toks, ms) for lg, ms in LANG_MARKERS.items()}
-    best = None
-    # deterministic tie-break: language list order
-    for lg in LANG_MARKERS:
-        s = scores[lg]
-        if best is None:
-            best = F.struct(s.alias("s"), F.lit(lg).alias("lg"))
-        else:
-            best = F.when(s > best["s"], F.struct(s.alias("s"), F.lit(lg).alias("lg"))).otherwise(best)
-    return df.select(
+    counts, 'und' (undetermined) when no marker hits at all.
+
+    Hot path (round 6): tokens are lowered + hashed JVM-side (codegen
+    xxhash64), and ONE Arrow kernel counts the 4x10 marker memberships
+    via sorted-search over the flattened hash vector plus a segmented
+    sum per (doc, language) — replacing four chained higher-order
+    ``filter(array_contains)`` passes and a nested when/struct argmax
+    that executed ~40 interpreted string comparisons per token
+    (measured at sf1.0: 51 s -> ~1 s). Tie-break is identical: first
+    language in LANG_MARKERS order wins (np.argmax keeps the first
+    maximum). Marker identity is 64-bit xxhash equality — the same
+    hash-identity contract as the shingle/dedup operators (a non-marker
+    token colliding with a marker hash at ~2^-64 would miscount)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..spark.keys import xxh64
+    from .dedup import _widen_narrow_scan, token_hashes_col
+    from .segmented import flatten_segments, segment_sum
+
+    langs = list(LANG_MARKERS)  # tie-break order
+    marker_hashes = [
+        np.sort(np.array([xxh64(m.encode()) for m in LANG_MARKERS[lg]], dtype=np.uint64))
+        for lg in langs
+    ]
+
+    @pandas_udf("pred_lang string, marker_hits long")
+    def _lid(hashes: pd.Series) -> pd.DataFrame:
+        from ..core import memtune  # noqa: F401
+
+        n = len(hashes)
+        pred = np.full(n, "und", dtype=object)
+        hits = np.zeros(n, dtype=np.int64)
+        if n:
+            flat, starts, lens_nz, nz = flatten_segments(hashes)
+            if len(flat):
+                scores = np.empty((len(langs), len(starts)), dtype=np.int64)
+                for li, mh in enumerate(marker_hashes):
+                    pos = np.searchsorted(mh, flat)
+                    pos[pos == len(mh)] = 0
+                    hit = (mh[pos] == flat).astype(np.int64)
+                    scores[li] = segment_sum(hit, starts)
+                best = np.argmax(scores, axis=0)  # first max = langs order
+                best_s = scores[best, np.arange(len(starts))]
+                hits[nz] = best_s
+                lang_arr = np.array(langs, dtype=object)
+                pred_nz = np.where(best_s > 0, lang_arr[best], "und")
+                pred[nz] = pred_nz
+        return pd.DataFrame({"pred_lang": pred, "marker_hits": hits})
+
+    df = _widen_narrow_scan(df)
+    th = token_hashes_col(F.lower(F.col(text_col)))
+    return df.select("doc_id", _lid(th).alias("__lid")).select(
         "doc_id",
-        F.when(best["s"] > 0, best["lg"]).otherwise(F.lit("und")).alias("pred_lang"),
-        best["s"].cast("long").alias("marker_hits"),
+        F.col("__lid.pred_lang").alias("pred_lang"),
+        F.col("__lid.marker_hits").alias("marker_hits"),
     )
 
 
