@@ -135,24 +135,65 @@ def jaccard_pairs(
     documented recall/undercount trade; leave None for exact results.
 
     ``max_bucket_size`` is the belt-and-braces per-bucket ceiling (see
-    _bucket_pairs_all): where ``max_shingle_df`` prunes by document
-    frequency computed in a separate aggregation, the bucket cap bounds
-    the pair-expansion task memory directly even when the DF pass is
-    skipped."""
+    _bucket_pairs_all). Both caps resolve to the same mechanism: a
+    shingle's bucket size equals its document frequency (shingle rows
+    are distinct per doc), so the kernel drops buckets larger than
+    min(max_shingle_df, max_bucket_size) before expansion — semantics
+    identical to the historical dfreq-aggregation + semi-join plan,
+    minus its extra shuffle and duplicated shingle subtree.
+
+    Physical shape note (round 6): a two-kernel rewrite (sizes attached
+    to shingle rows, pair-count fold + threshold filter in a second
+    mapInPandas) was measured and REJECTED — the extra 126M-row
+    JVM->Python->JVM round-trip (5 GB each way at sf1.0) cost far more
+    than the Catalyst groupBy it replaced (107 s vs 21.6 s noop walls);
+    a 16g driver-heap variant and shuffle-partition sweeps (64/128/200)
+    also measured worse than the 32-partition default. The pair-count
+    aggregation stays in Catalyst."""
     # per-doc sizes map-side (no shuffle); pair generation over 8-byte
     # shingle hashes instead of shingle strings (narrower shuffle rows)
-    df = _widen_narrow_scan(df)
+    nbytes = _input_bytes(df)
+    df = _widen_narrow_scan(df, nbytes=nbytes)
     toks = F.split(F.col(text_col), " ")
+    # sizes via DISTINCT HASH count — the same 64-bit shingle identity
+    # the intersection counts already use (consistent under collision,
+    # identical values otherwise; the pair counting has relied on this
+    # identity since round 3). array_distinct over the string shingles
+    # measured 6x slower than over their hashes at sf1.0 (11.6 s vs
+    # 1.8 s for the whole shingle subtree — UTF8String equality per
+    # element vs long compares), and the sizes subtree is evaluated on
+    # both sides of the size join.
+    # no ``sz > 0`` filter: it is semantically redundant (a doc with no
+    # shingles produces no bucket rows, so no pair can reference it and
+    # the inner joins below never see its size row) and actively
+    # harmful — the optimizer pushed the predicate BELOW the widening
+    # exchange, evaluating the whole shingle expression a second time
+    # on the raw 2-split scan (measured at sf1.0: 11.9 s with the
+    # filter vs 2.4 s without, same join results).
     sizes = df.select(
         F.col(id_col),
-        F.size(F.array_distinct(shingle_grams(toks, n))).alias("sz"),
-    ).where(F.col("sz") > 0)
+        F.size(
+            F.array_distinct(F.transform(shingle_grams(toks, n), lambda g: F.xxhash64(g)))
+        ).alias("sz"),
+    )
     sh = _doc_shingle_hashes(df, n, text_col, id_col)
+    # max_shingle_df is implemented as a per-bucket ceiling inside the
+    # pair kernel: shingle rows are DISTINCT per doc, so a shingle's
+    # bucket size IS its document frequency, and dropping buckets with
+    # m > max_shingle_df before expansion is row-for-row identical to
+    # the round-5 plan's separate dfreq aggregation + semi-join — which
+    # re-evaluated the whole scan+shingle subtree on both sides of a
+    # 2.6M-row join (measured at sf1.0: the capped query spent more
+    # wall in that join than the uncapped query spent counting 127M
+    # pairs). Sizes stay full distinct counts, exactly as the oracle's.
+    cap = max_bucket_size
     if max_shingle_df is not None:
-        dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
-        sh = sh.join(dfreq.where(F.col("df") <= max_shingle_df).select("h"), "h")
+        cap = max_shingle_df if cap is None else min(cap, max_shingle_df)
     inter = (
-        _bucket_pairs_all_kernel(sh, "h", id_col, max_bucket_size=max_bucket_size)
+        _bucket_pairs_all_kernel(
+            sh, "h", id_col, max_bucket_size=cap,
+            n_parts=_kernel_partitions(sh, nbytes=nbytes),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.sum("cnt").alias("inter"))
     )
@@ -203,15 +244,17 @@ def _bucket_pairs_all(
     )
 
 
-def _pairs_by_size(key: np.ndarray, ids: np.ndarray, max_bucket_size: int | None):
+def _pair_indices_by_size(key: np.ndarray, ids: np.ndarray, max_bucket_size: int | None):
     """Vectorized in-kernel bucket pair expansion: sort by (bucket, id),
     find bucket boundaries, then expand i<j index pairs for ALL buckets
     of each distinct size at once (offsets[:, None] + triu template) —
     no per-bucket Python loop, no per-group array allocation. Returns
-    (doc_a, doc_b) with doc_a < doc_b STRICTLY: a final mask drops the
-    self-pairs that duplicate (bucket, id) input rows would otherwise
-    produce from positional i<j expansion, matching the Catalyst
-    reference (_bucket_pairs_all) contract for any caller."""
+    (order, ai, bi): the lexsort order plus pair indices INTO THE SORTED
+    arrays with ids[order][ai] < ids[order][bi] STRICTLY (a final mask
+    drops the self-pairs that duplicate (bucket, id) input rows would
+    otherwise produce from positional i<j expansion), so callers can
+    gather ids AND any per-row payload (e.g. set sizes) at the pair
+    positions."""
     order = np.lexsort((ids, key))
     k_s, id_s = key[order], ids[order]
     bounds = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1], True])
@@ -227,17 +270,25 @@ def _pairs_by_size(key: np.ndarray, ids: np.ndarray, max_bucket_size: int | None
         out_a.append((o[:, None] + ti[None, :]).ravel())
         out_b.append((o[:, None] + tj[None, :]).ravel())
     if not out_a:
-        e = np.empty(0, dtype=ids.dtype)
-        return e, e
+        e = np.empty(0, dtype=np.int64)
+        return order, e, e
     ai = np.concatenate(out_a)
     bi = np.concatenate(out_b)
-    a_vals, b_vals = id_s[ai], id_s[bi]
-    # ids ascend within a bucket, so positional i<j gives a_vals <=
-    # b_vals; equality happens exactly for duplicated (bucket, id) rows
-    strict = a_vals < b_vals
+    # ids ascend within a bucket, so positional i<j gives id_s[ai] <=
+    # id_s[bi]; equality happens exactly for duplicated (bucket, id) rows
+    strict = id_s[ai] < id_s[bi]
     if not strict.all():
-        a_vals, b_vals = a_vals[strict], b_vals[strict]
-    return a_vals, b_vals
+        ai, bi = ai[strict], bi[strict]
+    return order, ai, bi
+
+
+def _pairs_by_size(key: np.ndarray, ids: np.ndarray, max_bucket_size: int | None):
+    """(doc_a, doc_b) value pairs with doc_a < doc_b, matching the
+    Catalyst reference (_bucket_pairs_all) contract for any caller —
+    thin wrapper over _pair_indices_by_size."""
+    order, ai, bi = _pair_indices_by_size(key, ids, max_bucket_size)
+    id_s = ids[order]
+    return id_s[ai], id_s[bi]
 
 
 def _bucket_pairs_all_kernel(
@@ -245,6 +296,7 @@ def _bucket_pairs_all_kernel(
     bucket_col: str,
     id_col: str,
     max_bucket_size: int | None = None,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, cnt) partial co-occurrence counts from per-shingle
     buckets — the kernel replacement for the groupBy/collect_list plan:
@@ -293,7 +345,8 @@ def _bucket_pairs_all_kernel(
     # tasks while scaling with the configured parallelism on a real
     # cluster. Interleaved sweep (sf0.1 steady walls): AQE 3.8-9.8s
     # erratic, n=32 4.8-5.5s, n=8 3.7-4.7s, n=4 3.4-4.6s.
-    n_parts = _kernel_partitions(keyed)
+    if n_parts is None:
+        n_parts = _kernel_partitions(keyed)
     return keyed.repartition(n_parts, F.col(bucket_col)).mapInPandas(
         part_fn, "doc_a long, doc_b long, cnt long"
     )
@@ -333,7 +386,7 @@ def _input_bytes(df: DataFrame) -> int | None:
 _KERNEL_WIDE_BYTES = 4 << 20
 
 
-def _kernel_partitions(df: DataFrame) -> int:
+def _kernel_partitions(df: DataFrame, nbytes: int | None = None) -> int:
     """Partition count for CPU-quadratic bucket kernels (see the
     rationale at the _bucket_pairs_all_kernel call site). Scale-adaptive:
     quarter shuffle width for tiny scans (task overhead dominates),
@@ -342,13 +395,14 @@ def _kernel_partitions(df: DataFrame) -> int:
     spark.sql.shuffle.partitions is the configured wide value and any
     real corpus clears the threshold, so this resolves to full width."""
     n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    nbytes = _input_bytes(df)
+    if nbytes is None:
+        nbytes = _input_bytes(df)
     if nbytes is not None and nbytes >= _KERNEL_WIDE_BYTES:
         return max(4, n_shuffle)
     return max(4, n_shuffle // 4)
 
 
-def _widen_narrow_scan(df: DataFrame) -> DataFrame:
+def _widen_narrow_scan(df: DataFrame, nbytes: int | None = None) -> DataFrame:
     """Ensure minimum parallelism for the CPU-heavy per-doc kernels
     (shingle/minhash/simhash): a small corpus parquet is ONE 128 MB
     split, so the whole tokenize+hash stage would run as a single task
@@ -356,7 +410,7 @@ def _widen_narrow_scan(df: DataFrame) -> DataFrame:
     host stall. On a web-scale corpus the scan already has thousands of
     splits and this is a no-op (the condition is on the SCAN's split
     count, so no shuffle is added at scale)."""
-    n_min = _kernel_partitions(df)
+    n_min = _kernel_partitions(df, nbytes=nbytes)
     if df.rdd.getNumPartitions() < n_min:
         return df.repartition(n_min)
     return df
@@ -367,12 +421,13 @@ def _bucket_pairs_kernel(
     bucket_col: str,
     id_col: str,
     max_bucket_size: int | None = None,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) via the same in-kernel
     expansion; pairs are deduped within the partition (sort + boundary)
     and globally (buckets of different partitions can emit the same
     pair). Used where the caller only needs the candidate SET."""
-    counted = _bucket_pairs_all_kernel(keyed, bucket_col, id_col, max_bucket_size)
+    counted = _bucket_pairs_all_kernel(keyed, bucket_col, id_col, max_bucket_size, n_parts=n_parts)
     return counted.select("doc_a", "doc_b").distinct()
 
 
@@ -459,6 +514,7 @@ def lsh_candidates(
     id_col: str = "doc_id",
     seed: int = 0x51A5,
     max_bucket_size: int | None = None,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (doc_a < doc_b). rows_per_band =
     n_hashes // bands; collision threshold s* ~ (1/bands)^(1/rows).
@@ -491,7 +547,9 @@ def lsh_candidates(
     packed = banded.select(
         id_col, F.shiftleft(F.col("bh"), shift).bitwiseOR(F.col("band")).alias("bk")
     )
-    return _bucket_pairs_kernel(packed, "bk", id_col, max_bucket_size=max_bucket_size)
+    return _bucket_pairs_kernel(
+        packed, "bk", id_col, max_bucket_size=max_bucket_size, n_parts=n_parts
+    )
 
 
 def near_dup_pairs_minhash(
@@ -515,9 +573,11 @@ def near_dup_pairs_minhash(
     the LSH signatures for docs shorter than shingle_n tokens, so
     identical short docs verify at jaccard 1.0 instead of being
     silently dropped with an empty shingle set."""
-    df = _widen_narrow_scan(df)
+    nbytes = _input_bytes(df)
+    df = _widen_narrow_scan(df, nbytes=nbytes)
     cand = lsh_candidates(
-        df, n_hashes, bands, shingle_n, text_col, id_col, max_bucket_size=max_bucket_size
+        df, n_hashes, bands, shingle_n, text_col, id_col,
+        max_bucket_size=max_bucket_size, n_parts=_kernel_partitions(df, nbytes=nbytes),
     )
     doc_sh = df.select(
         F.col(id_col),
@@ -659,7 +719,8 @@ def near_dup_pairs_simhash(
     (ck, cv) keys to size the cap; None = exact recall guarantee."""
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
-    df = _widen_narrow_scan(df)
+    nbytes = _input_bytes(df)
+    df = _widen_narrow_scan(df, nbytes=nbytes)
     if max_hamming == 0:
         sh0 = df.select(F.col(id_col), simhash_col(text_col).alias("sh"))
         return _bucket_pairs_kernel(
@@ -695,7 +756,24 @@ def near_dup_pairs_simhash(
     # no 8x uint8 materialization) replaces three full-size temporaries —
     # measured 5.1x on the sf1.0 hottest bucket (m=12605: 6.5 -> 1.3 s,
     # identical pairs).
+    #
+    # UNCAPPED dedup-at-source (round 6): a qualifying pair agrees on
+    # >= 1 chunk and was previously emitted once PER agreeing chunk
+    # (ham <= 7 pairs typically agree on several), then deduplicated by
+    # a global .distinct() — a full extra shuffle+aggregate over ~3x
+    # the output volume. Now each pair is emitted ONLY from its
+    # smallest agreeing chunk (the xor of the two signatures tells the
+    # kernel which earlier chunks agree — both docs are by construction
+    # members of every agreeing chunk's bucket, so exactly one bucket
+    # claims the pair) and the distinct disappears. With a bucket cap
+    # this reasoning breaks (the claiming bucket may have been dropped
+    # while a later agreeing chunk's bucket survived), so the capped
+    # variant keeps per-chunk emission + distinct — its semantics and
+    # output are bit-identical to round 5 either way.
     mh = int(max_hamming)
+    off_u = [np.uint64(o) for o in offsets]
+    msk_u = [np.uint64((1 << w) - 1) for w in widths]
+    first_chunk_only = cap is None
 
     def part_fn(batches):
         from ..core import memtune  # noqa: F401
@@ -719,6 +797,7 @@ def near_dup_pairs_simhash(
             m = int(g1 - g0)
             if m < 2 or (cap is not None and m > cap):
                 continue
+            ck = int(keys[g0] >> 32)
             ids, sig = ids_s[g0:g1], sig_s[g0:g1]
             block = max(1, (1 << 22) // m)  # ~32 MB xor blocks
             for i0 in range(0, m - 1, block):
@@ -731,6 +810,13 @@ def near_dup_pairs_simhash(
                 ri, ci = np.nonzero(pc <= mh)
                 keep = ci > ri  # strict upper triangle: doc_a < doc_b
                 ri, ci = ri[keep], ci[keep]
+                if first_chunk_only and ck > 0 and len(ri):
+                    # claim the pair only if NO earlier chunk agrees
+                    xv = x[ri, ci]
+                    lower = np.zeros(len(ri), dtype=bool)
+                    for ckp in range(ck):
+                        lower |= ((xv >> off_u[ckp]) & msk_u[ckp]) == 0
+                    ri, ci = ri[~lower], ci[~lower]
                 out_a.append(ids[ri + i0])
                 out_b.append(ids[ci + i0])
                 out_h.append(pc[ri, ci].astype(np.int64))
@@ -748,11 +834,14 @@ def near_dup_pairs_simhash(
     # CPU-quadratic in bucket size, so AQE's byte-based coalescing
     # (which collapsed this exchange to 1-2 tasks at sf0.1) both
     # serializes the work and amplifies single-worker host stalls
-    return (
-        chunks.repartition(_kernel_partitions(chunks), F.col("ck"), F.col("cv"))
-        .mapInPandas(part_fn, "doc_a long, doc_b long, hamming long")
-        .distinct()
+    res = chunks.repartition(
+        _kernel_partitions(chunks, nbytes=nbytes), F.col("ck"), F.col("cv")
+    ).mapInPandas(
+        part_fn, "doc_a long, doc_b long, hamming long"
     )
+    # uncapped: first-agreeing-chunk emission already yields each pair
+    # exactly once (see part_fn) — no global distinct needed
+    return res if first_chunk_only else res.distinct()
 
 
 # ----------------------------------------------------------------------

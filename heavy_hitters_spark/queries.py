@@ -420,8 +420,7 @@ def topk_tokens_stream(spark: SparkSession, sf_dir: str, k: int = 20, kc: int = 
     import shutil
     import tempfile
 
-    from .spark.keys import key_id_col as _kic
-    from .streaming.sketch_stream import merged_sketch, sketch_sink
+    from .streaming.sketch_stream import merged_sketch, token_sketch_sink
 
     state = tempfile.mkdtemp(prefix="hh_stream_state_")
     ckpt = tempfile.mkdtemp(prefix="hh_stream_ckpt_")
@@ -434,8 +433,11 @@ def topk_tokens_stream(spark: SparkSession, sf_dir: str, k: int = 20, kc: int = 
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir)
         )
-        ids = tokens(stream).withColumn("id", _kic("token"))
-        q = sketch_sink(ids, MisraGries(k=kc), state, ckpt, id_col="id")
+        # fused sink (round 6): text rows stream straight into the
+        # one-row-per-doc tokenize->sketch kernel — no per-token explode
+        # in the micro-batch; candidate MG + the exact rescoring below
+        # keep the output the certified exact top-k either way
+        q = token_sketch_sink(stream.select("text"), MisraGries(k=kc), state, ckpt)
         q.awaitTermination()
         mg = merged_sketch(spark, state)
     finally:

@@ -69,6 +69,51 @@ def sketch_sink(
     return writer.start()
 
 
+def token_sketch_sink(
+    stream_df: DataFrame,
+    template: Sketch,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Streaming sink over raw TEXT rows through the FUSED one-row-per-
+    document tokenize->hash->sketch kernel (spark.fused._fused_fn) —
+    round 6: the previous shape exploded the stream to one row per
+    token before the sink, shipping ~50x more Arrow rows across the
+    JVM->Python boundary per micro-batch than the fused path (the same
+    explode-vs-fused trade the batch build made in round 3; ids are the
+    identical xxhash64&mask32 stream, asserted in tests/test_fused.py).
+    The micro-batch is widened like the batch kernels (the file-stream
+    source hands a 1-2 split batch at bench scale). Same durable-state
+    contract as ``sketch_sink``: one partial-state row per partition,
+    idempotent batch_id-partitioned overwrite, merge with
+    ``merged_sketch``."""
+    from ..core.base import pack_state
+    from ..functions.dedup import _widen_narrow_scan
+    from ..spark.fused import _fused_fn
+
+    tb = pack_state(template)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        wide = _widen_narrow_scan(batch_df.select(text_col))
+        partials = wide.mapInArrow(_fused_fn(tb, text_col), PARTIAL_SCHEMA)
+        (
+            partials.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")  # idempotent per batch on replay
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(state_dir)
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_sketch_sink(
     stream_df: DataFrame,
     template: Sketch,
