@@ -848,6 +848,48 @@ def near_dup_pairs_simhash(
 # near-dup grouping (connected components) -> canonical doc per group
 # ----------------------------------------------------------------------
 
+# hard bound on the driver-side union-find fast path of near_dup_groups:
+# one million verified pair rows (~16 MB of ids) — far above any healthy
+# near-dup density at bench scale, far below driver memory; past it the
+# distributed propagation loop runs instead
+_MAX_DRIVER_EDGES = 1_000_000
+
+
+def _union_find_min(pair_rows) -> dict:
+    """Connected components over (doc_a, doc_b) rows via union-find with
+    path compression + union by size; returns {member: min_id_of_its
+    component} for every doc appearing in some pair."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pair_rows:
+        a, b = r[0], r[1]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+                size[v] = 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        m = comp_min.get(r)
+        if m is None or v < m:
+            comp_min[r] = v
+    return {v: comp_min[find(v)] for v in parent}
+
 
 def near_dup_groups(
     df: DataFrame,
@@ -864,17 +906,40 @@ def near_dup_groups(
     is the keep/drop list a dedup pipeline actually consumes: keep rows
     where doc_id == canonical.
 
-    Distributed min-label propagation: each round joins labels to the
-    (tiny, pairs-only) edge list and takes the min over neighbors —
-    converges in <= component-diameter rounds (near-dup clusters are
-    shallow, and each extra round on the cached pair graph is cheap).
-    Docs not in any pair are their own canonical and never enter the
-    loop. If a pathological chain is still changing after max_iters
-    rounds the result would be WRONG (split components), so that raises
-    instead of returning silently."""
+    Fast path (round 6): the verified pair list is the SAME row set the
+    sibling ``near_dup_pairs_minhash`` query returns in full, so up to a
+    hard driver bound (``_MAX_DRIVER_EDGES``) it is collected once and
+    resolved with a path-compressing union-find — replacing 3-5
+    propagation rounds of join+aggregate+count jobs (each a full
+    fixed-cost Spark job over a tiny cached graph) with one bounded
+    collect. Components and canonical ids are identical by
+    construction (canonical = min member either way).
+
+    Beyond the bound: distributed min-label propagation — each round
+    joins labels to the (tiny, pairs-only) edge list and takes the min
+    over neighbors — converges in <= component-diameter rounds
+    (near-dup clusters are shallow, and each extra round on the cached
+    pair graph is cheap). Docs not in any pair are their own canonical
+    and never enter the loop. If a pathological chain is still changing
+    after max_iters rounds the result would be WRONG (split
+    components), so that raises instead of returning silently."""
+    spark = df.sparkSession
     pairs = near_dup_pairs_minhash(
         df, threshold, n_hashes, bands, shingle_n, text_col, id_col
     ).select("doc_a", "doc_b")
+    probe = pairs.limit(_MAX_DRIVER_EDGES + 1).collect()
+    if len(probe) <= _MAX_DRIVER_EDGES:
+        canon = _union_find_min(probe)
+        labels = spark.createDataFrame(
+            [(int(d), int(c)) for d, c in canon.items()] or [],
+            f"{id_col} long, canonical long",
+        )
+        singletons = (
+            df.select(F.col(id_col))
+            .join(labels.select(id_col), id_col, "left_anti")
+            .withColumn("canonical", F.col(id_col))
+        )
+        return labels.unionByName(singletons)
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()  # the pair graph is tiny relative to the corpus; without

@@ -153,3 +153,22 @@ def test_kernel_partitions_scale_adaptive(spark, tmp_path):
     assert nb is not None and nb > 0
     assert _kernel_partitions(df, nbytes=nb) == max(4, n_shuffle // 4)
     assert _kernel_partitions(df, nbytes=_KERNEL_WIDE_BYTES) == max(4, n_shuffle)
+
+
+def test_near_dup_groups_fallback_matches_fast_path(spark, rng, monkeypatch):
+    """The driver-bounded union-find fast path and the distributed
+    min-label propagation fallback must produce identical keep/drop
+    lists; forcing the bound to 0 exercises the fallback."""
+    import heavy_hitters_spark.functions.dedup as dd
+
+    words = [f"w{i}" for i in range(60)]
+    docs = [(i, " ".join(rng.choice(words, size=25).tolist())) for i in range(150)]
+    docs += [(1000 + i, docs[i][1]) for i in range(12)]   # dup of i
+    docs += [(2000 + i, docs[i][1]) for i in range(6)]    # chains i-1000i-2000i
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fast = {(r["doc_id"], r["canonical"]) for r in dd.near_dup_groups(df, threshold=0.9).collect()}
+    monkeypatch.setattr(dd, "_MAX_DRIVER_EDGES", 0)
+    slow = {(r["doc_id"], r["canonical"]) for r in dd.near_dup_groups(df, threshold=0.9).collect()}
+    assert fast == slow
+    # planted dups resolve to the min id of their component
+    assert (1000, 0) in fast and (2000, 0) in fast
