@@ -18,6 +18,17 @@ from pyspark.sql import functions as F
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _wide(df):
+    """Widen a 1-2 split bench-scale scan to kernel parallelism (see
+    functions.dedup._widen_narrow_scan) — applied only in queries whose
+    results are provably partitioning-independent: linear/merge-
+    invariant sketch builds (CM/CS/Bloom/Dyadic), certified-exact
+    hybrids, and pure-Catalyst exact aggregations."""
+    from heavy_hitters_spark.functions.dedup import _widen_narrow_scan
+
+    return _widen_narrow_scan(df)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: phi-heavy-hitter tokens (sketch candidates + exact
     verify) over sf0.001 documents."""
@@ -63,14 +74,14 @@ def _q_token_count(spark, sf):
 def _q_bpe_token_count(spark, sf):
     from heavy_hitters_spark.functions.text import bpe_ish_count_col
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _wide(spark.read.parquet(f"{sf}/documents.parquet"))
     return docs.select("doc_id", bpe_ish_count_col("text").alias("n_pieces"))
 
 
 def _q_quality_scores(spark, sf):
     from heavy_hitters_spark.functions.text import quality_scores
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _wide(spark.read.parquet(f"{sf}/documents.parquet"))
     q = quality_scores(docs)
     return q.select(
         "doc_id",
@@ -130,7 +141,7 @@ def _q_topk_users_weighted(spark, sf):
     from heavy_hitters_spark.spark.keys import MASK32
 
     k = 10
-    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+    ev = _wide(spark.read.parquet(f"{sf}/events.parquet")).select(
         F.col("user_id"),
         F.col("user_id").bitwiseAND(F.lit(MASK32)).alias("id"),
         (F.col("value") * 100).cast("long").alias("w"),
@@ -172,7 +183,7 @@ def _q_turnstile_net_cs(spark, sf):
     from heavy_hitters_spark.spark.keys import MASK32
 
     probes = [10, 20, 30, 40, 50]
-    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+    ev = _wide(spark.read.parquet(f"{sf}/events.parquet")).select(
         F.col("user_id").bitwiseAND(F.lit(MASK32)).alias("id"),
         F.when(F.col("event_type") == "error", F.lit(-1))
         .otherwise(F.lit(1))
@@ -343,7 +354,7 @@ def _q_cosine_near_dups(spark, sf):
 def _q_distinct_tokens_exact(spark, sf):
     from heavy_hitters_spark.spark import tokens
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _wide(spark.read.parquet(f"{sf}/documents.parquet"))
     return tokens(docs).agg(F.countDistinct("token").alias("n_distinct"))
 
 
@@ -355,7 +366,7 @@ def _q_events_user_range_exact(spark, sf):
 def _q_doc_fingerprints(spark, sf):
     from heavy_hitters_spark.functions.text import fingerprint_col
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _wide(spark.read.parquet(f"{sf}/documents.parquet"))
     return docs.select("doc_id", fingerprint_col("text").alias("fp"))
 
 
@@ -417,7 +428,7 @@ def _q_range_sum_cm(spark, sf):
     from heavy_hitters_spark.spark import build_sketch
     from heavy_hitters_spark.spark.keys import MASK32
 
-    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+    ev = _wide(spark.read.parquet(f"{sf}/events.parquet")).withColumn(
         "id", F.col("user_id").bitwiseAND(F.lit(MASK32))
     )
     cm_t = CountMin(width=1 << 18, depth=5, hash_family="ms", seed_stream=SeedStream(1234, 5678))
@@ -513,7 +524,7 @@ def _q_phi_heavy_users_const(spark, sf):
     from heavy_hitters_spark.spark.keys import MASK32
 
     phi = 0.005
-    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+    ev = _wide(spark.read.parquet(f"{sf}/events.parquet")).withColumn(
         "id", F.col("user_id").bitwiseAND(F.lit(MASK32))
     )
     hh = ConstSketchHH(phi=phi, epsilon=phi / 2, delta=0.05, m=MASK32, gran=8,
@@ -547,7 +558,7 @@ def _q_phi_heavy_users_cs(spark, sf):
     from heavy_hitters_spark.spark.keys import MASK32
 
     phi = 0.005
-    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+    ev = _wide(spark.read.parquet(f"{sf}/events.parquet")).select(
         F.col("user_id"),
         F.col("user_id").bitwiseAND(F.lit(MASK32)).alias("id"),
         F.when(F.col("event_type") == "error", F.lit(-1))
@@ -593,7 +604,7 @@ def _q_phi_heavy_users_binary(spark, sf):
     from heavy_hitters_spark.spark.keys import MASK32
 
     phi = 0.005
-    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+    ev = _wide(spark.read.parquet(f"{sf}/events.parquet")).withColumn(
         "id", F.col("user_id").bitwiseAND(F.lit(MASK32))
     )
     hh = DyadicHH(
@@ -698,7 +709,7 @@ def _q_eval_hh_precision(spark, sf):
 
     phi = 0.005
     reported_users = [r["user_id"] for r in phi_heavy_users(spark, sf, phi=phi).collect()]
-    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+    ev = _wide(spark.read.parquet(f"{sf}/events.parquet")).withColumn(
         "id", F.col("user_id").bitwiseAND(F.lit(MASK32))
     )
     return hh_precision_recall(spark, ev, reported_users, phi=phi, epsilon=0.0)
@@ -713,7 +724,7 @@ def _q_bloom_membership(spark, sf):
     from heavy_hitters_spark.core import Bloom
     from heavy_hitters_spark.spark import build_sketch, key_id, key_id_col, tokens
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _wide(spark.read.parquet(f"{sf}/documents.parquet"))
     ids = tokens(docs).withColumn("id", key_id_col("token"))
     bloom, _ = build_sketch(ids, Bloom(capacity=1_000_000, fpp=0.001), id_col="id")
     probes = ["the", "value", "zzz-not-a-token", "spark", "qqq-missing"]

@@ -534,11 +534,15 @@ def test_ann_recall_gates_driver_params(spark):
         assert firsts == {0: 0, 1: 1, 2: 2}
 
 
-def test_near_dup_groups_nonconvergence_raises(spark):
+def test_near_dup_groups_nonconvergence_raises(spark, monkeypatch):
     """Stopping while labels still change would silently split
-    components — the loop must raise instead."""
-    from heavy_hitters_spark.functions.dedup import near_dup_groups
+    components — the propagation loop must raise instead. (Round 6:
+    the driver-bounded union-find fast path resolves any collected
+    graph exactly and never iterates, so the failsafe only guards the
+    distributed fallback — force it by zeroing the fast-path bound.)"""
+    import heavy_hitters_spark.functions.dedup as dd
 
+    monkeypatch.setattr(dd, "_MAX_DRIVER_EDGES", 0)
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
     a = " ".join(base)
     b = " ".join(base[:-1] + ["CHANGED1"])
@@ -547,7 +551,7 @@ def test_near_dup_groups_nonconvergence_raises(spark):
         [(1, a), (2, b), (3, c)], "doc_id long, text string"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        near_dup_groups(df, threshold=0.5, shingle_n=3, max_iters=1)
+        dd.near_dup_groups(df, threshold=0.5, shingle_n=3, max_iters=1)
 
 
 def test_bucket_pair_kernel_matches_catalyst_reference(spark):
