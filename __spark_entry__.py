@@ -20,10 +20,12 @@ SF0001 = "/root/testdata/sf0.001"
 
 def _wide(df):
     """Widen a 1-2 split bench-scale scan to kernel parallelism (see
-    functions.dedup._widen_narrow_scan) — applied only in queries whose
-    results are provably partitioning-independent: linear/merge-
-    invariant sketch builds (CM/CS/Bloom/Dyadic), certified-exact
-    hybrids, and pure-Catalyst exact aggregations."""
+    functions.dedup._widen_narrow_scan) — applied ONLY where a
+    CPU-heavy per-doc text kernel dominates the query (regex quality
+    metrics, BPE segmentation, rolling-hash fingerprints); round-6
+    measurement showed widening the sub-second sketch-update builds
+    nets WORSE (repartition shuffle + 16x partial states + an extra
+    analysis per action), so those scans stay raw."""
     from heavy_hitters_spark.functions.dedup import _widen_narrow_scan
 
     return _widen_narrow_scan(df)
@@ -141,7 +143,7 @@ def _q_topk_users_weighted(spark, sf):
     from heavy_hitters_spark.spark.keys import MASK32
 
     k = 10
-    ev = _wide(spark.read.parquet(f"{sf}/events.parquet")).select(
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
         F.col("user_id"),
         F.col("user_id").bitwiseAND(F.lit(MASK32)).alias("id"),
         (F.col("value") * 100).cast("long").alias("w"),
@@ -183,7 +185,7 @@ def _q_turnstile_net_cs(spark, sf):
     from heavy_hitters_spark.spark.keys import MASK32
 
     probes = [10, 20, 30, 40, 50]
-    ev = _wide(spark.read.parquet(f"{sf}/events.parquet")).select(
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
         F.col("user_id").bitwiseAND(F.lit(MASK32)).alias("id"),
         F.when(F.col("event_type") == "error", F.lit(-1))
         .otherwise(F.lit(1))
@@ -354,7 +356,7 @@ def _q_cosine_near_dups(spark, sf):
 def _q_distinct_tokens_exact(spark, sf):
     from heavy_hitters_spark.spark import tokens
 
-    docs = _wide(spark.read.parquet(f"{sf}/documents.parquet"))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
     return tokens(docs).agg(F.countDistinct("token").alias("n_distinct"))
 
 
@@ -428,7 +430,7 @@ def _q_range_sum_cm(spark, sf):
     from heavy_hitters_spark.spark import build_sketch
     from heavy_hitters_spark.spark.keys import MASK32
 
-    ev = _wide(spark.read.parquet(f"{sf}/events.parquet")).withColumn(
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
         "id", F.col("user_id").bitwiseAND(F.lit(MASK32))
     )
     cm_t = CountMin(width=1 << 18, depth=5, hash_family="ms", seed_stream=SeedStream(1234, 5678))
@@ -524,7 +526,7 @@ def _q_phi_heavy_users_const(spark, sf):
     from heavy_hitters_spark.spark.keys import MASK32
 
     phi = 0.005
-    ev = _wide(spark.read.parquet(f"{sf}/events.parquet")).withColumn(
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
         "id", F.col("user_id").bitwiseAND(F.lit(MASK32))
     )
     hh = ConstSketchHH(phi=phi, epsilon=phi / 2, delta=0.05, m=MASK32, gran=8,
@@ -558,7 +560,7 @@ def _q_phi_heavy_users_cs(spark, sf):
     from heavy_hitters_spark.spark.keys import MASK32
 
     phi = 0.005
-    ev = _wide(spark.read.parquet(f"{sf}/events.parquet")).select(
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
         F.col("user_id"),
         F.col("user_id").bitwiseAND(F.lit(MASK32)).alias("id"),
         F.when(F.col("event_type") == "error", F.lit(-1))
@@ -604,7 +606,7 @@ def _q_phi_heavy_users_binary(spark, sf):
     from heavy_hitters_spark.spark.keys import MASK32
 
     phi = 0.005
-    ev = _wide(spark.read.parquet(f"{sf}/events.parquet")).withColumn(
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
         "id", F.col("user_id").bitwiseAND(F.lit(MASK32))
     )
     hh = DyadicHH(
@@ -709,7 +711,7 @@ def _q_eval_hh_precision(spark, sf):
 
     phi = 0.005
     reported_users = [r["user_id"] for r in phi_heavy_users(spark, sf, phi=phi).collect()]
-    ev = _wide(spark.read.parquet(f"{sf}/events.parquet")).withColumn(
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
         "id", F.col("user_id").bitwiseAND(F.lit(MASK32))
     )
     return hh_precision_recall(spark, ev, reported_users, phi=phi, epsilon=0.0)
@@ -724,7 +726,7 @@ def _q_bloom_membership(spark, sf):
     from heavy_hitters_spark.core import Bloom
     from heavy_hitters_spark.spark import build_sketch, key_id, key_id_col, tokens
 
-    docs = _wide(spark.read.parquet(f"{sf}/documents.parquet"))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
     ids = tokens(docs).withColumn("id", key_id_col("token"))
     bloom, _ = build_sketch(ids, Bloom(capacity=1_000_000, fpp=0.001), id_col="id")
     probes = ["the", "value", "zzz-not-a-token", "spark", "qqq-missing"]

@@ -34,32 +34,23 @@ from .spark.keys import MASK32
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus scan, widened to kernel parallelism (round 6): the bench
-    corpus parquet is 1-2 splits, so every downstream tokenize/sketch/
-    rescoring stage otherwise ran 1-2 tasks. Result-safe for every
-    consumer: the sketch builds here are linear or merge-invariant
-    (CM/CS/HLL/MG-with-certified-exact-rescoring) and the exact passes
-    are partitioning-independent by definition."""
-    from .functions.dedup import _widen_narrow_scan
-
-    return _widen_narrow_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # NOT widened (round-6 measurement): the fused tokenize->sketch
+    # kernels cost well under a second at bench scale, and widening
+    # (repartition shuffle + 16x more partial states to fold + an extra
+    # plan analysis per action) measured NET WORSE on every consumer
+    # (topk_tokens 1.4 -> 2.1 s, point_freq_cm 0.8 -> 1.2 s at sf1.0).
+    # Widening pays only for the CPU-heavy text kernels (shingle pair
+    # expansion, lang_id, fingerprints), which widen internally.
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw events scan — deliberately NOT widened: quantiles_events_value
-    feeds a RAW KLL estimate (order-sensitive state) whose declared
-    output must stay bit-identical across rounds. Widening-safe
-    consumers use _events_wide."""
+    # not widened — same round-6 measurement as _docs (sketch updates
+    # over 1M event ids are sub-second; the widen overhead nets worse:
+    # quantiles_*_exact 1.6 -> 6.3 s, phi_heavy_users 0.8 -> 2.0 s),
+    # plus quantiles_events_value's RAW KLL estimate is order-sensitive
+    # state whose declared output must stay bit-identical anyway
     return spark.read.parquet(f"{sf_dir}/events.parquet")
-
-
-def _events_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events scan widened to kernel parallelism — for consumers whose
-    results are provably partitioning-independent (linear CM/CS/Dyadic
-    counters, certified-exact hybrids)."""
-    from .functions.dedup import _widen_narrow_scan
-
-    return _widen_narrow_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,7 +149,7 @@ def phi_heavy_users(spark: SparkSession, sf_dir: str, phi: float = 0.005) -> Dat
     """phi-heavy-hitter user_ids over events, via the hierarchical
     dyadic structure (reference semantics: recall of everything >=
     phi*L1 guaranteed) + exact verification pass."""
-    ev = _events_wide(spark, sf_dir).withColumn("id", F.col("user_id").bitwiseAND(F.lit(MASK32)))
+    ev = _events(spark, sf_dir).withColumn("id", F.col("user_id").bitwiseAND(F.lit(MASK32)))
     hh = DyadicHH(
         phi=phi, epsilon=phi / 2, delta=0.05, m=MASK32, gran=8,
         seed_stream=SeedStream(1234, 5678),
@@ -179,7 +170,7 @@ def phi_heavy_users(spark: SparkSession, sf_dir: str, phi: float = 0.005) -> Dat
 
 
 def topk_event_types(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    ev = _events_wide(spark, sf_dir).withColumn("id", key_id_col("event_type"))
+    ev = _events(spark, sf_dir).withColumn("id", key_id_col("event_type"))
     mg, _ = build_sketch(ev, MisraGries(k=256), id_col="id")
     return _mg_exact_topk(ev, mg, "event_type", k)
 
@@ -254,7 +245,7 @@ def range_count_users(spark: SparkSession, sf_dir: str, lo: int = 10, hi: int = 
     """Dyadic range-count estimate of events with user_id in [lo, hi]
     (O(k log m) point queries on the level sketches — the scalable form
     of the reference's naive range_sum, count_min.c:147-156)."""
-    ev = _events_wide(spark, sf_dir).withColumn("id", F.col("user_id").bitwiseAND(F.lit(MASK32)))
+    ev = _events(spark, sf_dir).withColumn("id", F.col("user_id").bitwiseAND(F.lit(MASK32)))
     hh = DyadicHH(phi=0.01, epsilon=0.005, delta=0.05, m=MASK32, gran=8,
                   seed_stream=SeedStream(1234, 5678))
     merged, _ = build_sketch(ev, hh, id_col="id")
@@ -392,10 +383,7 @@ def _exact_quantiles_windowed(
 
 def _events_value_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trunc toward zero, matching CAST(trunc(value*100) AS BIGINT) in SQL
-    # (widened: every consumer is a certified-exact hybrid whose result
-    # is partitioning-independent; the raw-KLL-estimate query uses the
-    # narrow _events on purpose)
-    return _events_wide(spark, sf_dir).select((F.col("value") * 100).cast("long").alias("v"))
+    return _events(spark, sf_dir).select((F.col("value") * 100).cast("long").alias("v"))
 
 
 def quantiles_events_value_exact(
