@@ -170,10 +170,24 @@ def jaccard_pairs(
     # exchange, evaluating the whole shingle expression a second time
     # on the raw 2-split scan (measured at sf1.0: 11.9 s with the
     # filter vs 2.4 s without, same join results).
+    #
+    # coalesce(-1) makes ``sz`` NON-NULLABLE: without it, the jaccard
+    # threshold filter downstream makes InferFiltersFromConstraints
+    # derive ``isnotnull(sz)`` and push it below the widening exchange,
+    # where isnotnull(size(array_distinct(transform(...)))) re-runs the
+    # whole shingle expression on the narrow scan — measured 3.3 s ->
+    # 11.9 s at sf1.0 for the otherwise-identical plan. The sentinel is
+    # unreachable: text is never NULL here, and a hypothetical NULL-text
+    # doc has no shingles, so no pair row can join to it.
     sizes = df.select(
         F.col(id_col),
-        F.size(
-            F.array_distinct(F.transform(shingle_grams(toks, n), lambda g: F.xxhash64(g)))
+        F.coalesce(
+            F.size(
+                F.array_distinct(
+                    F.transform(shingle_grams(toks, n), lambda g: F.xxhash64(g))
+                )
+            ),
+            F.lit(-1),
         ).alias("sz"),
     )
     sh = _doc_shingle_hashes(df, n, text_col, id_col)
