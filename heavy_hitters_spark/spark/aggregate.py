@@ -283,9 +283,16 @@ class DirFold:
     Deduplication: a file is ``state_p{partition}_a{attempt}.bin``; the
     kernel is deterministic per partition, so retried/speculative
     attempts write byte-identical states and only the first file per
-    partition is folded. Fold order is arrival order (a sequential left
-    fold), which stays inside the documented merge-order invariance
-    classes (tests/test_merge_invariance.py)."""
+    partition is folded.
+
+    Fold order is STRICT PARTITION-ID order (round 6; ADVICE r05 #1):
+    arrival-order folding made order-sensitive sketch states
+    (MisraGries, KLL, TDigest, conservative CountMin) thread-timing
+    dependent run to run. Out-of-order arrivals buffer as raw bytes
+    and the contiguous prefix folds as it completes, so the merge still
+    overlaps the map stage (partitions complete roughly in waves and
+    partition 0 is in the first wave); the result is the deterministic
+    sequential left fold p0..pN for EVERY sketch class."""
 
     POLL_S = 0.004
 
@@ -295,6 +302,8 @@ class DirFold:
         self.dir = dir_path
         self.acc: Sketch | None = None
         self.done_parts: set[int] = set()
+        self._pending: dict[int, bytes] = {}  # arrived out of order
+        self._next_part = 0
         self._stop = threading.Event()
         self._err: BaseException | None = None
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -305,13 +314,17 @@ class DirFold:
             if not (name.startswith("state_p") and name.endswith(".bin")):
                 continue
             part = int(name[7:].split("_")[0])
-            if part in self.done_parts:
+            if part in self.done_parts or part in self._pending:
                 continue
             with open(os.path.join(self.dir, name), "rb") as f:
-                blob = f.read()
-            sk = unpack_state(blob)
+                self._pending[part] = f.read()
+        # fold exactly the contiguous partition-id prefix that has
+        # arrived — deterministic sequential left fold p0, p1, ...
+        while self._next_part in self._pending:
+            sk = unpack_state(self._pending.pop(self._next_part))
             self.acc = sk if self.acc is None else self.acc.merge(sk)
-            self.done_parts.add(part)
+            self.done_parts.add(self._next_part)
+            self._next_part += 1
 
     def _run(self) -> None:
         try:

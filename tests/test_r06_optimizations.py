@@ -172,3 +172,39 @@ def test_near_dup_groups_fallback_matches_fast_path(spark, rng, monkeypatch):
     assert fast == slow
     # planted dups resolve to the min id of their component
     assert (1000, 0) in fast and (2000, 0) in fast
+
+
+def test_dirfold_folds_in_partition_order(tmp_path):
+    """DirFold must produce the deterministic sequential left fold
+    p0..pN regardless of arrival order (ADVICE r05 #1: arrival-order
+    folding made order-sensitive sketch states thread-timing
+    dependent). Scrambled writes of MisraGries states — an
+    order-SENSITIVE merge — must equal the in-order fold exactly."""
+    import time
+
+    import numpy as np
+
+    from heavy_hitters_spark.core import MisraGries
+    from heavy_hitters_spark.core.base import pack_state, unpack_state
+    from heavy_hitters_spark.spark.aggregate import DirFold
+
+    rng = np.random.default_rng(3)
+    blobs = []
+    for p in range(6):
+        mg = MisraGries(k=4)  # tiny k forces decrements -> order matters
+        mg.update_batch(rng.integers(0, 50, size=400, dtype=np.uint64))
+        blobs.append(pack_state(mg))  # snapshot BEFORE any merge mutates
+    ref = unpack_state(blobs[0])
+    for b in blobs[1:]:
+        ref = ref.merge(unpack_state(b))
+
+    d = tmp_path / "side"
+    d.mkdir()
+    fold = DirFold(str(d))
+    for p in [3, 0, 5, 1, 4, 2]:  # adversarial arrival order
+        tmp = d / f".tmp_{p}"
+        tmp.write_bytes(blobs[p])
+        tmp.rename(d / f"state_p{p}_a0.bin")
+        time.sleep(0.02)
+    got = fold.finish(set(range(6)))
+    assert got.to_bytes() == ref.to_bytes()
