@@ -593,16 +593,16 @@ def near_dup_pairs_minhash(
         df, n_hashes, bands, shingle_n, text_col, id_col,
         max_bucket_size=max_bucket_size, n_parts=_kernel_partitions(df, nbytes=nbytes),
     )
-    doc_sh = df.select(
-        F.col(id_col),
-        F.array_distinct(shingle_hashes_col(text_col, shingle_n)).alias("sh_set"),
-    )
-    # single-scan verification: joining doc_sh once per pair side would
-    # execute the corpus-wide tokenize+hash subtree TWICE (broadcast
-    # joins don't reuse it); instead unpivot each pair into two
-    # (pair, role, doc) rows, join the shingle sets in ONE pass, and
-    # fold the two sides back per pair — only candidate docs' arrays
-    # (never the corpus) cross the groupBy shuffle
+    # single-scan verification: joining a per-doc shingle-array table
+    # once per pair side would execute the corpus-wide tokenize+hash
+    # subtree TWICE (broadcast joins don't reuse it); instead unpivot
+    # each pair into two (pair, role, doc) rows, join the TEXT in one
+    # pass, and compute the shingle arrays AFTER the join — round 6:
+    # computing arrays before the join hashed the whole corpus to feed
+    # a candidate set that is typically a vanishing fraction of it
+    # (sf1.0: 50k docs' arrays built for a few hundred candidates,
+    # ~1.2 s of the verify). Post-join, the expensive expression runs
+    # on |2 x candidates| rows only.
     sides = cand.select(
         "doc_a", "doc_b", F.col("doc_a").alias(id_col), F.lit(0).alias("role")
     ).unionByName(
@@ -614,9 +614,15 @@ def near_dup_pairs_minhash(
     # the join to broadcast at runtime when the observed size of
     # ``sides`` is under the adaptive broadcast threshold (the common
     # case), and degrades to a shuffled join otherwise — either way the
-    # corpus-side tokenize+hash subtree executes exactly once
+    # corpus-side text scan executes exactly once
     # (plan-asserted in tests/test_skew_and_plans.py).
-    matched = doc_sh.join(sides, id_col)
+    matched = (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(sides, id_col)
+        .withColumn(
+            "sh_set", F.array_distinct(shingle_hashes_col(text_col, shingle_n))
+        )
+    )
     folded = matched.groupBy("doc_a", "doc_b").agg(
         F.first(F.when(F.col("role") == 0, F.col("sh_set")), ignorenulls=True).alias("sa"),
         F.first(F.when(F.col("role") == 1, F.col("sh_set")), ignorenulls=True).alias("sb"),
