@@ -1,7 +1,9 @@
 """Deduplication operators for training-data pipelines:
 
 - exact dedup                 hash-groupBy, pure Catalyst
-- n-gram Jaccard similarity   explode-shingles + self-join, pure Catalyst
+- n-gram Jaccard similarity   map-side shingle hashing + bucket
+                              pair-expansion kernel + Catalyst count
+                              aggregation
 - MinHash + LSH near-dup      signatures in an Arrow pandas kernel,
                               banding + bucket-join in DataFrame ops,
                               exact-Jaccard verification on candidates
@@ -10,8 +12,9 @@
 Scale shape: every candidate-generation join is on a *bucket key*
 (band hash / simhash chunk), never a cross join; verification touches
 only candidate pairs. At 100 TB the LSH band join is the standard
-shuffle-bounded near-dup plan; the exact verify is a shingle self-join
-restricted to candidates (broadcast when candidate set is small).
+shuffle-bounded near-dup plan; the exact verify joins candidate rows
+to the raw text and hashes shingles for the matched rows only
+(broadcast when the candidate set is small).
 """
 
 from __future__ import annotations
