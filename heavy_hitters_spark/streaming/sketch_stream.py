@@ -21,10 +21,6 @@ and keeps per-batch work map-side only.
 
 from __future__ import annotations
 
-import time
-from typing import Callable
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
