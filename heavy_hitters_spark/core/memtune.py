@@ -81,6 +81,12 @@ def tune_zipimport_invalidate() -> bool:
         import sys
         import zipimport
 
+        # measured & verified against CPython 3.11/3.12 zipimport
+        # internals; on a future interpreter degrade to stock behavior
+        # instead of patching untested code paths
+        if sys.version_info[:2] not in ((3, 11), (3, 12)):
+            return False
+
         orig = zipimport.zipimporter.invalidate_caches
 
         def invalidate_caches(self):  # noqa: ANN001

@@ -161,9 +161,13 @@ def _fused_fn(
                     s.update_batch(u, uc)
                 n_batch = int(uc.sum())
             if raw_targets:
-                ids = lut[idx]
-                if "" in memo:
-                    ids = ids[ids != np.uint64(memo[""])]
+                if empty_j >= 0:
+                    # drop empty-string tokens by DICTIONARY slot (not by
+                    # hashed id), so a real token whose hash collides with
+                    # h("") survives — same rule as the preagg path above
+                    ids = lut[idx[idx != empty_j]]
+                else:
+                    ids = lut[idx]
                 for s in raw_targets:
                     s.update_batch(ids)
                 n_batch = len(ids)

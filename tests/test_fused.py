@@ -164,6 +164,34 @@ def test_fused_preagg_routing_mixed_template(spark):
         assert abs(true_rank - q) < 0.05, (q, true_rank)
 
 
+def test_raw_path_empty_filter_is_slot_based(monkeypatch):
+    """A real token whose xxh64&MASK32 collides with h("") must SURVIVE
+    the raw (non-PREAGG_SAFE) path's empty-token filter, matching the
+    preagg path's dictionary-slot rule — the round-5 code filtered the
+    hashed id array by value and silently dropped such a token. Forced
+    by monkeypatching the hash so 'collider' == h(''), and calling the
+    fused kernel in-process (no Spark needed)."""
+    from heavy_hitters_spark.core import KLL
+    from heavy_hitters_spark.core.base import pack_state, unpack_state
+    from heavy_hitters_spark.spark import keys as keys_mod
+    from heavy_hitters_spark.spark.fused import _fused_fn
+
+    real = keys_mod.xxh64
+    monkeypatch.setattr(
+        keys_mod, "xxh64", lambda b: real(b"") if b == b"collider" else real(b)
+    )
+
+    import pyarrow as pa
+
+    # split on ' ': ['collider', '', 'collider', 'x'] -> 3 real tokens
+    batch = pa.RecordBatch.from_pydict({"text": ["collider  collider x"]})
+    fn = _fused_fn(pack_state(KLL(k=200, seed=7)), "text")
+    (out,) = list(fn(iter([batch])))
+    assert out.column("n_updates")[0].as_py() == 3  # r5 code recorded 1
+    kll = unpack_state(out.column("state")[0].as_py())
+    assert kll.n == 3
+
+
 def test_prepared_builder_matches_one_shot(spark):
     """TokenSketchBuilder (plan analyzed once, re-collected per run)
     must produce the byte-identical sketch and metrics as the one-shot
